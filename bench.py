@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the registry's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Usage: python bench.py [--cpus N] [--sf-dir DIR] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    from tscan_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="tscan_spark_bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(int(args.cpus), 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tscan_spark.registry import QUERIES
+
+    names = [n for n in args.queries.split(",") if n] or list(QUERIES)
+    n_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.time()
+            df = QUERIES[name](spark, args.sf_dir)
+            # count() forces full execution without driver-collect overhead
+            df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+
+    # headline metric: documents (sequences) per second through the full
+    # T-Scan document-feature ladder
+    flag = timings.get("tscan_doc_features", total)
+    print(
+        json.dumps(
+            {
+                "metric": "doc_features_seq_per_sec",
+                "value": round(n_docs / flag, 2) if flag else None,
+                "unit": "sec",
+                "queries": timings,
+                "sf": args.sf_dir.rstrip("/").split("sf")[-1],
+                "total_sec": round(total, 3),
+                "cpus": int(args.cpus),
+                "n_docs": n_docs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

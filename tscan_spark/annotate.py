@@ -1,0 +1,202 @@
+"""Deterministic token annotation — the "synthetic Frog".
+
+The reference's per-word inputs (CGN tag, lemma, etc.) come from the
+Frog NLP service (/root/reference/src/tscan.cxx:3131-3231).  The engine
+consumes *pre-annotated* tokens; for the synthetic corpus the annotations
+are deterministic pure functions of the surface word, defined ONCE here
+as Python constants and rendered into BOTH
+
+- Spark broadcast-lexicon DataFrames / column expressions, and
+- ANSI-SQL literals for the DuckDB oracle,
+
+so the two sides can never drift.
+
+Classifier families mirrored from the reference (SURVEY.md §2.2):
+
+- CGN head tag decode          (W3,  src/cgn.cxx:356-383)
+- lemma derivation             (Frog analog; suffix strip)
+- content-word flag            (W23, src/wordstats.cxx:17-33)
+- proposition negation         (W6,  src/wordstats.cxx:255-286)
+- connective classification    (W8,  src/tscan.cxx:1134-1181)
+- situation classification     (W9,  src/tscan.cxx:1183-1217)
+- intensifier / formal lookup  (W12/W13, src/tscan.cxx:1467-1507)
+- stop-lemma flag              (W18, src/tscan.cxx:1583-1595)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Rule constants (single source of truth for Spark AND the SQL oracle)
+# ---------------------------------------------------------------------------
+
+# CGN head tag by first letter of the word — stands in for CGN::toCGN
+# (reference decodes Frog's tagset, src/cgn.cxx:356-383).
+TAG_BANDS = [
+    ("a", "f", "N"),
+    ("g", "m", "WW"),
+    ("n", "r", "ADJ"),
+    ("s", "s", "BW"),
+    ("t", "u", "VNW"),
+    ("v", "z", "VG"),
+]
+
+# lemma = word minus plural-ish suffix (Frog lemmatizer stand-in): strip a
+# trailing 's' when len > 4 (keeps 'hash' intact, maps 'windows'->'window').
+LEMMA_MIN_LEN = 5
+
+# W6 checkPropNeg: 31-word negative list in the reference
+# (src/wordstats.cxx:255-286); synthetic analog:
+NEG_WORDS = ["slow", "dup"]
+
+# W18 stop lemmata (src/tscan.cxx:778-813): excluded from content counts
+# but kept in *InclCnt (src/tscan.cxx:2288-2292).
+STOP_LEMMATA = ["the", "a"]
+
+# W8 connective lexicon: (lemma -> class), gated on tag in {VG, VZ, BW}
+# (src/tscan.cxx:1134-1181).  Class names follow Conn::Type (conn.h:9-11).
+CONNECTIVES = {
+    "value": "CAUSAAL",
+    "vector": "TEMPOREEL",
+    "window": "CONTRASTIEF",
+    "small": "COMPARATIEF",
+    "spark": "OPSOMMEND_WG",
+}
+CONNECTIVE_TAGS = ["VG", "VZ", "BW"]
+
+# W9 situation lexicon (lemma -> class), Situation::Type (situation.h:8-10)
+SITUATIONS = {
+    "data": "TIME",
+    "row": "SPACE",
+    "join": "EMOTION",
+    "merge": "CAUSE",
+}
+
+# W12 intensifiers (src/tscan.cxx:1467-1488)
+INTENSIFIERS = ["big", "fast"]
+
+# W13 formal words (src/tscan.cxx:1491-1507)
+FORMAL_WORDS = ["query", "column"]
+
+CONTENT_TAGS = ["N", "WW", "ADJ", "BW"]  # W23 content: head verb/BW/N/ADJ/name
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def tag_expr(word: Column) -> Column:
+    """CGN head tag from first letter (portable CASE cascade)."""
+    first = F.substring(word, 1, 1)
+    expr = F.lit("SPEC")
+    for lo, hi, tag in reversed(TAG_BANDS):
+        expr = F.when((first >= lo) & (first <= hi), tag).otherwise(expr)
+    return expr
+
+
+def lemma_expr(word: Column) -> Column:
+    return F.when(
+        (F.length(word) >= LEMMA_MIN_LEN) & word.endswith("s"),
+        F.substr(word, F.lit(1), F.length(word) - 1),
+    ).otherwise(word)
+
+
+def lexicon_df(spark: SparkSession, mapping: dict[str, str], key: str, val: str) -> DataFrame:
+    """A lexicon as a small dimension DataFrame — always broadcast-joined
+    (reference loads these as in-RAM std::maps, src/tscan.cxx:862-1119;
+    the Spark-native equivalent is a broadcast hash join)."""
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(mapping.items())], schema=f"{key} string, {val} string"
+    )
+
+
+def annotate(tok: DataFrame) -> DataFrame:
+    """tokens_long -> fully annotated token grain.
+
+    All features are native column expressions or broadcast joins — zero
+    Python in the hot path; one whole-stage-codegen span over the scan.
+    """
+    spark = tok.sparkSession
+    w = F.col("word")
+    out = (
+        tok.withColumn("l_word", F.lower(w))
+        .withColumn("char_cnt", F.length(w))
+        .withColumn("tag", tag_expr(w))
+        .withColumn("lemma", lemma_expr(w))
+    )
+    out = (
+        out.withColumn("is_content", F.col("tag").isin(CONTENT_TAGS).cast("int"))
+        .withColumn("is_neg", F.col("l_word").isin(NEG_WORDS).cast("int"))
+        .withColumn("is_stop", F.col("lemma").isin(STOP_LEMMATA).cast("int"))
+        .withColumn("is_intens", F.col("lemma").isin(INTENSIFIERS).cast("int"))
+        .withColumn("is_formal", F.col("lemma").isin(FORMAL_WORDS).cast("int"))
+    )
+    conn = lexicon_df(spark, CONNECTIVES, "lemma", "conn_type")
+    sit = lexicon_df(spark, SITUATIONS, "lemma", "sit_type")
+    out = (
+        out.join(F.broadcast(conn), "lemma", "left")
+        .withColumn(
+            "conn_type",
+            F.when(F.col("tag").isin(CONNECTIVE_TAGS), F.col("conn_type")),
+        )
+        .join(F.broadcast(sit), "lemma", "left")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle side — same rules as literals
+# ---------------------------------------------------------------------------
+
+
+def _sql_in(col: str, values: list[str]) -> str:
+    lits = ", ".join(f"'{v}'" for v in values)
+    return f"{col} IN ({lits})"
+
+
+def sql_tag(col: str = "word") -> str:
+    cases = "\n        ".join(
+        f"WHEN substring({col}, 1, 1) BETWEEN '{lo}' AND '{hi}' THEN '{tag}'"
+        for lo, hi, tag in TAG_BANDS
+    )
+    return f"CASE {cases} ELSE 'SPEC' END"
+
+
+def sql_lemma(col: str = "word") -> str:
+    return (
+        f"CASE WHEN length({col}) >= {LEMMA_MIN_LEN} AND {col} LIKE '%s' "
+        f"THEN substring({col}, 1, length({col}) - 1) ELSE {col} END"
+    )
+
+
+def sql_case_map(col: str, mapping: dict[str, str]) -> str:
+    cases = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(mapping.items()))
+    return f"CASE {col} {cases} END"
+
+
+def sql_annot_cte() -> str:
+    """Render the annotated-token CTE (depends on `tok` CTE)."""
+    return f"""
+annot0 AS (
+    SELECT tok.*,
+           lower(word) AS l_word,
+           length(word) AS char_cnt,
+           {sql_tag("word")} AS tag,
+           {sql_lemma("word")} AS lemma
+    FROM tok
+),
+annot AS (
+    SELECT annot0.*,
+           CASE WHEN {_sql_in("tag", CONTENT_TAGS)} THEN 1 ELSE 0 END AS is_content,
+           CASE WHEN {_sql_in("l_word", NEG_WORDS)} THEN 1 ELSE 0 END AS is_neg,
+           CASE WHEN {_sql_in("lemma", STOP_LEMMATA)} THEN 1 ELSE 0 END AS is_stop,
+           CASE WHEN {_sql_in("lemma", INTENSIFIERS)} THEN 1 ELSE 0 END AS is_intens,
+           CASE WHEN {_sql_in("lemma", FORMAL_WORDS)} THEN 1 ELSE 0 END AS is_formal,
+           CASE WHEN {_sql_in("tag", CONNECTIVE_TAGS)}
+                THEN {sql_case_map("lemma", CONNECTIVES)} END AS conn_type,
+           {sql_case_map("lemma", SITUATIONS)} AS sit_type
+    FROM annot0
+)"""

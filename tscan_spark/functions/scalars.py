@@ -1,0 +1,50 @@
+"""Scalar derivations with reference NA semantics.
+
+The reference's ``proportion``/``density`` return NaN (printed "NA") when
+the denominator is zero (/root/reference/include/tscan/utils.h:79-97);
+here that is a SQL NULL, which survives parquet, DuckDB comparison and
+``numpy.allclose`` NaN-position checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def proportion(num, den) -> Column:
+    """num/den, NULL when den is 0/NULL (utils.h:79-87)."""
+    num, den = _c(num), _c(den)
+    return F.when(den != 0, num / den)
+
+
+def density(num, den) -> Column:
+    """(num/den)*1000, NULL when den is 0/NULL (utils.h:89-97)."""
+    num, den = _c(num), _c(den)
+    return F.when(den != 0, num / den * 1000.0)
+
+
+def freq_log(count, total) -> Column:
+    """SUBTLEX Laplace log frequency per billion.
+
+    ``log10(((f+1)/total)*1e9)`` — reference ``freqLog``,
+    /root/reference/src/tscan.cxx:1617-1621.
+    """
+    return F.log10((_c(count) + F.lit(1.0)) / _c(total) * F.lit(1.0e9))
+
+
+# Shared SQL renderings (DuckDB oracle side) of the same formulas.
+def sql_proportion(num: str, den: str) -> str:
+    return f"CASE WHEN {den} <> 0 THEN {num} / {den} END"
+
+
+def sql_density(num: str, den: str) -> str:
+    return f"CASE WHEN {den} <> 0 THEN {num} / {den} * 1000.0 END"
+
+
+def sql_freq_log(count: str, total: str) -> str:
+    return f"log10((({count} + 1.0) / {total}) * 1e9)"

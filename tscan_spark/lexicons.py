@@ -1,0 +1,76 @@
+"""Frequency-lexicon construction (corpus-derived, deterministic).
+
+The reference ships static frequency lexicons (SUBTLEX/SoNaR word and
+lemma lists, Staphorsius cumulative bands, top-20k rank bands) loaded by
+``fill_freqlex`` / ``fill_topvals`` (/root/reference/src/tscan.cxx:445-534).
+Here the lexicons are *derived from the corpus itself* — deterministic at
+every scale factor, and exactly reproducible in the DuckDB oracle.
+
+At 100 TB these would be prebuilt snapshot tables (built once by this
+same job, written to Iceberg with a ``valid_from`` timestamp — see
+``tscan_spark/operators/asof.py``); per-query they are always tiny
+(vocabulary-sized) and therefore broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tscan_spark.corpus import tokens_long
+from tscan_spark.functions.scalars import freq_log, sql_freq_log
+
+# Synthetic rank-band thresholds (reference bands are top1000..top20000 on
+# a 20k lexicon, fill_topvals src/tscan.cxx:492-534; the synthetic vocab
+# is ~31 words so thresholds scale down, semantics — membership in a
+# smaller band implies all larger bands (src/tscan.cxx:2366-2400) — kept).
+BANDS = [("top1000", 5), ("top5000", 10), ("top20000", 20)]
+
+
+def word_freq(documents: DataFrame) -> DataFrame:
+    """Per-word corpus frequency with Laplace log-frequency and rank.
+
+    Output: (word, wf_count, wf_rank, wf_freq_log) — deterministic rank
+    via (count DESC, word ASC) tie-break.
+    """
+    tok = tokens_long(documents)
+    counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wf_count"))
+    total = tok.count()  # scalar; at scale: computed once per snapshot build
+    w = Window.orderBy(F.desc("wf_count"), F.asc("word"))
+    return counts.select(
+        "word",
+        "wf_count",
+        F.row_number().over(w).alias("wf_rank"),
+        freq_log("wf_count", F.lit(float(total))).alias("wf_freq_log"),
+    )
+
+
+def with_band_flags(df: DataFrame, rank_col: str = "wf_rank") -> DataFrame:
+    """Add one 0/1 flag per rank band (cascading membership)."""
+    out = df
+    for band, thr in BANDS:
+        out = out.withColumn(f"is_{band}", (F.col(rank_col) <= thr).cast("int"))
+    return out
+
+
+# --- SQL oracle rendering (depends on `tok` CTE) ---------------------------
+
+
+def sql_word_freq_cte() -> str:
+    band_cols = ",\n           ".join(
+        f"CASE WHEN wf_rank <= {thr} THEN 1 ELSE 0 END AS is_{band}" for band, thr in BANDS
+    )
+    return f"""
+wfreq AS (
+    SELECT word,
+           COUNT(*) AS wf_count,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS wf_rank,
+           {sql_freq_log("COUNT(*)", "(SELECT COUNT(*) FROM tok)")} AS wf_freq_log
+    FROM tok
+    GROUP BY word
+),
+wfreq_b AS (
+    SELECT *,
+           {band_cols}
+    FROM wfreq
+)"""

@@ -1,0 +1,217 @@
+"""Point-in-time (as-of) joins against versioned lexicon snapshots — the
+north-rule core (SURVEY.md §2.4 J5).
+
+The reference pins ONE lexicon version per run (settingData::init,
+/root/reference/src/tscan.cxx:862-1119); the engine generalizes this to
+versioned snapshot tables joined as-of each document's event time with
+zero temporal leakage (strict backward direction: snapshot.valid_from <=
+doc.event_ts, never a future snapshot).
+
+Two physical strategies:
+
+- :func:`asof_join` — generic sorted-partition merge: cogroup both sides
+  on the `by` keys and run ``pd.merge_asof`` per group in Arrow batches.
+  This is the scale path when the right side is large (many snapshots x
+  many keys): shuffle is one hash exchange per side on the by-keys and
+  the merge is O(n+m) per group.
+- :func:`asof_join_broadcast` — when the snapshot dimension is small
+  (the usual lexicon case): broadcast, range-filter, keep the max
+  valid_from per left row via ``max_by``. No Python, no extra shuffle on
+  the fact side beyond the final aggregate.
+
+Both return the same schema; equivalence is pinned by tests and the
+DuckDB ``ASOF LEFT JOIN`` oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from tscan_spark import corpus, lexicons
+from tscan_spark.functions.scalars import sql_freq_log
+
+SNAPSHOT_DATES = ["2024-01-10", "2024-02-10", "2024-03-10"]
+
+
+def lexicon_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic versioned word_freq snapshots.
+
+    Snapshot k is valid from SNAPSHOT_DATES[k]; it contains word w iff
+    (length(w) + k) % 3 != 0 (so different words resolve to different
+    versions for the same document — the per-key as-of path is real),
+    with value = base freq_log + k/10.
+    """
+    wf = lexicons.word_freq(corpus.load(spark, sf_dir, "documents"))
+    versions = spark.range(len(SNAPSHOT_DATES)).select(
+        F.col("id").cast("int").alias("version")
+    )
+    snaps = wf.crossJoin(F.broadcast(versions))
+    snaps = snaps.where(((F.length("word") + F.col("version")) % 3) != 0)
+    return snaps.select(
+        "word",
+        "version",
+        F.to_timestamp(
+            F.element_at(
+                F.array(*[F.lit(d) for d in SNAPSHOT_DATES]), F.col("version") + 1
+            )
+        ).alias("valid_from"),
+        F.round(F.col("wf_freq_log") + F.col("version") / 10.0, 6).alias("lex_value"),
+    )
+
+
+SQL_SNAPSHOTS_CTE = (
+    """
+snaps AS (
+    SELECT word,
+           CAST(v.version AS INT) AS version,
+           CAST(['"""
+    + "','".join(SNAPSHOT_DATES)
+    + """'][v.version + 1] AS TIMESTAMP) AS valid_from,
+           ROUND("""
+    + sql_freq_log("wf_count", "(SELECT COUNT(*) FROM tok)")
+    + """ + v.version / 10.0, 6) AS lex_value
+    FROM (SELECT word, COUNT(*) AS wf_count FROM tok GROUP BY word) wf
+    CROSS JOIN (SELECT CAST(range AS INT) AS version FROM range(3)) v
+    WHERE (length(word) + v.version) % 3 <> 0
+)"""
+)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    by: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic backward as-of join via cogrouped ``pd.merge_asof``.
+
+    left[on] is matched to the greatest right[right_on] <= left[on]
+    within equal `by` keys. Arrow-vectorized; each group is merged in
+    O(n log n) (sort) + O(n+m).
+    """
+    out_schema = StructType(
+        [f for f in left.schema.fields]
+        + [right.schema[c] for c in ["version", *value_cols] if c in right.columns]
+    )
+    left_cols = [f.name for f in left.schema.fields]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        keep = ["version", *value_cols] if "version" in rpdf.columns else value_cols
+        if rpdf.empty:
+            merged = lpdf.copy()
+            for c in keep:
+                merged[c] = pd.NA
+        else:
+            rpdf = rpdf.sort_values(right_on, kind="mergesort")
+            merged = pd.merge_asof(
+                lpdf,
+                rpdf[[right_on, *keep]],
+                left_on=on,
+                right_on=right_on,
+                direction="backward",  # zero temporal leakage
+            )
+        if "version" in merged.columns:
+            # unmatched rows turn version into float NaN — restore a
+            # nullable int so Arrow maps it onto the declared IntegerType
+            merged["version"] = merged["version"].astype("Int32")
+        return merged[left_cols + keep]
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right.groupBy(*by))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    by: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of via broadcast + max_by (small snapshot dimension)."""
+    cond = [left[c] == right[c] for c in by] + [left[on] >= right[right_on]]
+    j = left.join(F.broadcast(right), cond, "left")
+    lcols = [left[f.name] for f in left.schema.fields]
+    aggs = [
+        F.max_by(right[c], right[right_on]).alias(c) for c in ["version", *value_cols]
+    ]
+    return j.groupBy(*lcols).agg(*aggs)
+
+
+def asof_doc_features(
+    spark: SparkSession, sf_dir: str, strategy: str = "merge"
+) -> DataFrame:
+    """Doc-grain features computed against the as-of lexicon snapshot.
+
+    Each token of a document resolves to the latest snapshot of its word
+    with valid_from <= event_ts; documents earlier than every snapshot of
+    a word get NULL (missing-version behavior, never leakage).
+    """
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = corpus.with_event_ts(corpus.tokens_long(documents))
+    snaps = lexicon_snapshots(spark, sf_dir)
+    join = asof_join if strategy == "merge" else asof_join_broadcast
+    enriched = join(
+        tok,
+        snaps,
+        on="event_ts",
+        right_on="valid_from",
+        by=["word"],
+        value_cols=["lex_value"],
+    )
+    return (
+        enriched.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("token_cnt"),
+            F.sum(F.col("lex_value").isNotNull().cast("int")).cast("long").alias(
+                "matched_cnt"
+            ),
+            F.sum(F.col("lex_value").isNull().cast("int")).cast("long").alias(
+                "missing_cnt"
+            ),
+            F.round(F.avg("lex_value"), 6).alias("avg_lex_value"),
+            F.max("version").cast("int").alias("max_version"),
+        )
+        .withColumn("token_cnt", F.col("token_cnt").cast("long"))
+    )
+
+
+def sql_asof_doc_features() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + SQL_SNAPSHOTS_CTE.strip()
+        + """,
+tok_ts AS (
+    SELECT tok.*,
+           CAST(DATE '2024-01-01' + CAST(doc_id % 90 AS INT) AS TIMESTAMP) AS event_ts
+    FROM tok
+),
+enriched AS (
+    SELECT t.doc_id, t.word_idx, s.version, s.lex_value
+    FROM tok_ts t
+    ASOF LEFT JOIN snaps s
+      ON t.word = s.word AND t.event_ts >= s.valid_from
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS token_cnt,
+       CAST(SUM(CASE WHEN lex_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS matched_cnt,
+       CAST(SUM(CASE WHEN lex_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS missing_cnt,
+       ROUND(AVG(lex_value), 6) AS avg_lex_value,
+       CAST(MAX(version) AS INT) AS max_version
+FROM enriched
+GROUP BY doc_id"""
+    )

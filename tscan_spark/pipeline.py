@@ -1,0 +1,296 @@
+"""The T-Scan feature ladder: token -> sentence -> document.
+
+Reimplements the reference's three-level fold/merge hierarchy
+(``sentStats`` ctor src/tscan.cxx:2126-2865, ``structStats::merge``
+src/structstats.cxx:1374-1695, ``docStats`` src/tscan.cxx:3092-3127) as
+two hash-aggregation ladders plus ratio selects:
+
+- per-word switch/case accumulation  -> indicator columns + ``sum()``
+  (classic partial+final hash agg; map-side combine for free),
+- unique-token counters              -> exact ``countDistinct`` at the
+  doc grain (approx is banned by the golden-match requirement),
+- rarity (docStats::rarity, src/docstats.cxx:9-18) -> two-level agg,
+- word_freq_log recomputed per grain  (src/tscan.cxx:2829-2837) AND the
+  avg-of-sentence-means variant (the A7/A9/A10 avg-of-avgs trap:
+  doc level is the mean of sentence means, src/structstats.cxx:28-54),
+- proportion/density NA semantics    -> NULL on zero denominator.
+
+Scale notes (100 TB): the token explode is narrow; the only shuffles are
+the two groupBys (both keyed by doc_id prefixes, AQE-coalesced) and the
+doc-grain joins, which co-partition on doc_id. Lexicon joins are all
+broadcast. Skew from long documents is bounded because every aggregation
+key includes doc_id (a long doc stays one group — ~10^3 tokens max by
+construction; a truly pathological corpus would use the salted two-stage
+variant in operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscan_spark import annotate, corpus, lexicons
+from tscan_spark.functions.scalars import proportion, sql_proportion
+
+RARITY_LEVEL = 4  # reference default 10, tests use 4 (tests/tscan.cfg)
+
+CONN_CLASSES = ["CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF", "OPSOMMEND_WG"]
+SIT_CLASSES = ["TIME", "SPACE", "EMOTION", "CAUSE"]
+
+
+def word_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully annotated token grain with frequency-lexicon features."""
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = annotate.annotate(corpus.tokens_long(documents))
+    wf = lexicons.with_band_flags(lexicons.word_freq(documents))
+    # broadcast lexicon join — the Spark-native analog of the reference's
+    # per-word std::map probes (src/tscan.cxx:1624-1644)
+    out = tok.join(F.broadcast(wf), "word", "left")
+    # freq only counts for non-stop content words (src/tscan.cxx:1783-1785)
+    gate = (F.col("is_content") == 1) & (F.col("is_stop") == 0)
+    return out.withColumn("content_freq_log", F.when(gate, F.col("wf_freq_log")))
+
+
+def sentence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain counters (A1, src/tscan.cxx:2126-2865)."""
+    return _sentence_agg(word_features(spark, sf_dir))
+
+
+def _sentence_agg(wordf: DataFrame) -> DataFrame:
+    aggs = [
+        F.count(F.lit(1)).alias("word_cnt"),
+        F.sum((F.col("is_content") == 1).cast("int") * (1 - F.col("is_stop"))).alias(
+            "content_cnt"
+        ),
+        F.sum("is_content").alias("content_incl_cnt"),
+        F.sum("is_neg").alias("neg_cnt"),
+        F.sum("is_stop").alias("stop_cnt"),
+        F.sum("is_intens").alias("intens_cnt"),
+        F.sum("is_formal").alias("formal_cnt"),
+        F.sum(F.col("conn_type").isNotNull().cast("int")).alias("conn_cnt"),
+        F.sum(F.col("sit_type").isNotNull().cast("int")).alias("sit_cnt"),
+        F.sum("char_cnt").alias("char_sum"),
+        F.sum("content_freq_log").alias("wfl_sum"),
+    ]
+    for band, _ in lexicons.BANDS:
+        aggs.append(F.sum(f"is_{band}").alias(f"{band}_cnt"))
+    sent = (
+        wordf.groupBy("doc_id", "par_idx", "sent_idx")
+        .agg(*aggs)
+        .withColumn("sent_wfl", proportion("wfl_sum", "content_cnt"))
+    )
+    return sent
+
+
+_SENT_SUM_COLS = [
+    "word_cnt",
+    "content_cnt",
+    "content_incl_cnt",
+    "neg_cnt",
+    "stop_cnt",
+    "intens_cnt",
+    "formal_cnt",
+    "conn_cnt",
+    "sit_cnt",
+    "char_sum",
+] + [f"{band}_cnt" for band, _ in lexicons.BANDS]
+
+
+def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-grain feature vector — the flagship query.
+
+    Mirrors docStats: flat sums of sentence counters, sentence/paragraph
+    counts, exact TTR, rarity, per-grain freq-log means and the
+    avg-of-sentence-means variant, then the ratio select
+    (structstats.cxx:123-1042 analog).
+    """
+    # one token-grain computation feeds all four aggregation paths
+    wordf = word_features(spark, sf_dir).persist()
+    sent = _sentence_agg(wordf)
+    doc = sent.groupBy("doc_id").agg(
+        *[F.sum(c).alias(c) for c in _SENT_SUM_COLS],
+        F.count(F.lit(1)).alias("sent_cnt"),
+        F.countDistinct("par_idx").alias("par_cnt"),
+        F.sum("wfl_sum").alias("wfl_sum"),
+        F.avg("sent_wfl").alias("wfl_sent_avg"),  # avg-of-avgs (A9 trap)
+    )
+
+    uniq = wordf.groupBy("doc_id").agg(
+        F.countDistinct("l_word").alias("uniq_words"),
+        F.countDistinct("lemma").alias("uniq_lemmas"),
+    )
+    # rarity (A6): fraction of distinct lemmas with in-doc count <= level
+    lemma_cnt = wordf.groupBy("doc_id", "lemma").agg(F.count(F.lit(1)).alias("n"))
+    rarity = lemma_cnt.groupBy("doc_id").agg(
+        F.avg((F.col("n") <= RARITY_LEVEL).cast("int")).alias("rarity")
+    )
+    # per-class connective/situation counts at doc grain
+    # NULL-safe indicator sums: `(col == c).cast(int)` is NULL on NULL rows
+    # and would make an all-NULL group sum to NULL instead of 0
+    conn = wordf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("conn_type") == c, 1).otherwise(0)).alias(
+                f"conn_{c.lower()}_cnt"
+            )
+            for c in CONN_CLASSES
+        ],
+        *[
+            F.sum(F.when(F.col("sit_type") == s, 1).otherwise(0)).alias(
+                f"sit_{s.lower()}_cnt"
+            )
+            for s in SIT_CLASSES
+        ],
+    )
+
+    out = doc.join(uniq, "doc_id").join(rarity, "doc_id").join(conn, "doc_id")
+    r6 = lambda c: F.round(c, 6)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(c).cast("long").alias(c) for c in _SENT_SUM_COLS],
+        F.col("sent_cnt").cast("long").alias("sent_cnt"),
+        F.col("par_cnt").cast("long").alias("par_cnt"),
+        F.col("uniq_words").cast("long").alias("uniq_words"),
+        F.col("uniq_lemmas").cast("long").alias("uniq_lemmas"),
+        *[
+            F.col(f"conn_{c.lower()}_cnt").cast("long").alias(f"conn_{c.lower()}_cnt")
+            for c in CONN_CLASSES
+        ],
+        *[
+            F.col(f"sit_{s.lower()}_cnt").cast("long").alias(f"sit_{s.lower()}_cnt")
+            for s in SIT_CLASSES
+        ],
+        r6(proportion("word_cnt", "sent_cnt")).alias("wrd_per_zin"),
+        r6(proportion("char_sum", "word_cnt")).alias("let_per_wrd"),
+        r6(proportion("uniq_words", "word_cnt")).alias("ttr_words"),
+        r6(proportion("uniq_lemmas", "word_cnt")).alias("ttr_lemmas"),
+        r6(proportion(F.col("content_cnt") * 1000.0, "word_cnt")).alias("content_d"),
+        r6(proportion(F.col("neg_cnt") * 1000.0, "word_cnt")).alias("neg_d"),
+        r6(proportion(F.col("conn_cnt") * 1000.0, "word_cnt")).alias("conn_d"),
+        r6(proportion(F.col("top1000_cnt") * 100.0, "word_cnt")).alias("freq1000_p"),
+        r6(proportion(F.col("top5000_cnt") * 100.0, "word_cnt")).alias("freq5000_p"),
+        r6(proportion(F.col("top20000_cnt") * 100.0, "word_cnt")).alias("freq20000_p"),
+        r6(proportion("wfl_sum", "content_cnt")).alias("word_freq_log"),
+        r6(F.col("wfl_sent_avg")).alias("wfl_sent_avg"),
+        r6(F.col("rarity")).alias("rarity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (built from the same constants)
+# ---------------------------------------------------------------------------
+
+
+def _sql_prelude() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + annotate.sql_annot_cte().strip()
+        + ",\n"
+        + lexicons.sql_word_freq_cte().strip()
+        + """,
+wordf AS (
+    SELECT annot.*,
+           w.wf_freq_log,
+           w.is_top1000, w.is_top5000, w.is_top20000,
+           CASE WHEN annot.is_content = 1 AND annot.is_stop = 0
+                THEN w.wf_freq_log END AS content_freq_log
+    FROM annot LEFT JOIN wfreq_b w USING (word)
+)"""
+    )
+
+
+def sql_sentence_features() -> str:
+    band_sums = ",\n           ".join(
+        f"SUM(is_{band}) AS {band}_cnt" for band, _ in lexicons.BANDS
+    )
+    return (
+        _sql_prelude()
+        + f""",
+sentf AS (
+    SELECT doc_id, par_idx, sent_idx,
+           COUNT(*) AS word_cnt,
+           SUM(CASE WHEN is_content = 1 AND is_stop = 0 THEN 1 ELSE 0 END) AS content_cnt,
+           SUM(is_content) AS content_incl_cnt,
+           SUM(is_neg) AS neg_cnt,
+           SUM(is_stop) AS stop_cnt,
+           SUM(is_intens) AS intens_cnt,
+           SUM(is_formal) AS formal_cnt,
+           SUM(CASE WHEN conn_type IS NOT NULL THEN 1 ELSE 0 END) AS conn_cnt,
+           SUM(CASE WHEN sit_type IS NOT NULL THEN 1 ELSE 0 END) AS sit_cnt,
+           SUM(char_cnt) AS char_sum,
+           SUM(content_freq_log) AS wfl_sum,
+           {band_sums}
+    FROM wordf
+    GROUP BY doc_id, par_idx, sent_idx
+)"""
+    )
+
+
+def sql_doc_features() -> str:
+    sum_cols = ",\n           ".join(f"SUM({c}) AS {c}" for c in _SENT_SUM_COLS)
+    conn_sums = ",\n           ".join(
+        f"SUM(CASE WHEN conn_type = '{c}' THEN 1 ELSE 0 END) AS conn_{c.lower()}_cnt"
+        for c in CONN_CLASSES
+    )
+    sit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN sit_type = '{s}' THEN 1 ELSE 0 END) AS sit_{s.lower()}_cnt"
+        for s in SIT_CLASSES
+    )
+    long_cols = ",\n       ".join(
+        f"CAST({c} AS BIGINT) AS {c}"
+        for c in _SENT_SUM_COLS
+        + ["sent_cnt", "par_cnt", "uniq_words", "uniq_lemmas"]
+        + [f"conn_{c.lower()}_cnt" for c in CONN_CLASSES]
+        + [f"sit_{s.lower()}_cnt" for s in SIT_CLASSES]
+    )
+    return (
+        sql_sentence_features()
+        + f""",
+docf AS (
+    SELECT doc_id,
+           {sum_cols},
+           COUNT(*) AS sent_cnt,
+           COUNT(DISTINCT par_idx) AS par_cnt,
+           SUM(wfl_sum) AS wfl_sum,
+           AVG(CASE WHEN content_cnt <> 0 THEN wfl_sum / content_cnt END) AS wfl_sent_avg
+    FROM sentf
+    GROUP BY doc_id
+),
+uniq AS (
+    SELECT doc_id,
+           COUNT(DISTINCT l_word) AS uniq_words,
+           COUNT(DISTINCT lemma) AS uniq_lemmas
+    FROM wordf GROUP BY doc_id
+),
+rar AS (
+    SELECT doc_id, AVG(CASE WHEN n <= {RARITY_LEVEL} THEN 1 ELSE 0 END) AS rarity
+    FROM (SELECT doc_id, lemma, COUNT(*) AS n FROM wordf GROUP BY doc_id, lemma)
+    GROUP BY doc_id
+),
+connd AS (
+    SELECT doc_id,
+           {conn_sums},
+           {sit_sums}
+    FROM wordf GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {long_cols},
+       ROUND({sql_proportion("word_cnt", "sent_cnt")}, 6) AS wrd_per_zin,
+       ROUND({sql_proportion("char_sum", "word_cnt")}, 6) AS let_per_wrd,
+       ROUND({sql_proportion("uniq_words", "word_cnt")}, 6) AS ttr_words,
+       ROUND({sql_proportion("uniq_lemmas", "word_cnt")}, 6) AS ttr_lemmas,
+       ROUND({sql_proportion("content_cnt * 1000.0", "word_cnt")}, 6) AS content_d,
+       ROUND({sql_proportion("neg_cnt * 1000.0", "word_cnt")}, 6) AS neg_d,
+       ROUND({sql_proportion("conn_cnt * 1000.0", "word_cnt")}, 6) AS conn_d,
+       ROUND({sql_proportion("top1000_cnt * 100.0", "word_cnt")}, 6) AS freq1000_p,
+       ROUND({sql_proportion("top5000_cnt * 100.0", "word_cnt")}, 6) AS freq5000_p,
+       ROUND({sql_proportion("top20000_cnt * 100.0", "word_cnt")}, 6) AS freq20000_p,
+       ROUND({sql_proportion("wfl_sum", "content_cnt")}, 6) AS word_freq_log,
+       ROUND(wfl_sent_avg, 6) AS wfl_sent_avg,
+       ROUND(rarity, 6) AS rarity
+FROM docf
+JOIN uniq USING (doc_id)
+JOIN rar USING (doc_id)
+JOIN connd USING (doc_id)"""
+    )

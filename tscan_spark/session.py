@@ -1,0 +1,76 @@
+"""SparkSession construction and runtime tuning.
+
+The engine may receive an externally-built session (the driver contract
+passes one in), so all scale-relevant settings that are runtime-settable
+are applied by :func:`tune` rather than only at builder time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session we run on.
+# AQE gives shuffle-coalescing + skew-join splitting at 100 TB scale;
+# Arrow is mandatory for the pandas-UDF kernels (vectorized, never
+# per-row Python); UTC pins timestamp semantics so results are
+# independent of driver locale.
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # broadcast anything under 64 MB — every lexicon dimension in this
+    # engine is far below that (reference lexicons are ~3.5 MB each,
+    # /root/reference/data/prevalence_nl.data)
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # conf locked by the host session — keep going; every
+            # operator is still correct, only planning quality varies.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "tscan_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned local session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    on a real cluster this function is not used — spark-submit owns the
+    session and :func:`tune` is applied instead.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core keeps every stage
+        # fully parallel without tiny-partition overhead at test SF.
+        try:
+            n = int(master.split("[")[1].rstrip("]").replace("*", "32"))
+        except Exception:
+            n = 32
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("TSCAN_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
