@@ -30,9 +30,9 @@ def test_doc_features_match_oracle(spark, oracle):
 
 
 def test_sentence_features_match_oracle(spark, oracle):
-    df = pipeline.sentence_features(spark, SF_DIR).drop("sent_wfl", "wfl_sum")
+    df = pipeline.sentence_features(spark, SF_DIR).drop("sent_wfl", "wfl_fp")
     sql = (
         pipeline.sql_sentence_features()
-        + " SELECT * EXCLUDE (wfl_sum) FROM sentf"
+        + " SELECT * EXCLUDE (wfl_fp) FROM sentf"
     )
     assert_matches_oracle(df, oracle, sql)

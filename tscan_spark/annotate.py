@@ -105,7 +105,7 @@ def lemma_expr(word: Column) -> Column:
 
 
 def lexicon_df(spark: SparkSession, mapping: dict[str, str], key: str, val: str) -> DataFrame:
-    """A lexicon as a small dimension DataFrame — always broadcast-joined
+    """A lexicon as a small dimension DataFrame — broadcast-joined
     (reference loads these as in-RAM std::maps, src/tscan.cxx:862-1119;
     the Spark-native equivalent is a broadcast hash join)."""
     return spark.createDataFrame(
@@ -113,13 +113,28 @@ def lexicon_df(spark: SparkSession, mapping: dict[str, str], key: str, val: str)
     )
 
 
+def lexicon_map(mapping: dict[str, str], key: Column) -> Column:
+    """Closed-class lexicon as a literal map lookup.
+
+    For compile-time-constant lexicons (connectives, situations — tens of
+    entries) a literal ``create_map`` lookup constant-folds into
+    whole-stage codegen: zero exchanges, zero broadcast setup. Corpus-
+    derived lexicons (word_freq) stay broadcast *joins* since they are
+    data, not constants."""
+    kv: list[Column] = []
+    for k, v in sorted(mapping.items()):
+        kv.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*kv), key)
+
+
 def annotate(tok: DataFrame) -> DataFrame:
     """tokens_long -> fully annotated token grain.
 
-    All features are native column expressions or broadcast joins — zero
-    Python in the hot path; one whole-stage-codegen span over the scan.
+    All features are native column expressions — a single whole-stage-
+    codegen span over the scan, no exchanges (the closed-class lexicons
+    fold in as literal maps; the corpus-derived frequency lexicon joins
+    later in pipeline.word_features as a broadcast join).
     """
-    spark = tok.sparkSession
     w = F.col("word")
     out = (
         tok.withColumn("l_word", F.lower(w))
@@ -134,16 +149,13 @@ def annotate(tok: DataFrame) -> DataFrame:
         .withColumn("is_intens", F.col("lemma").isin(INTENSIFIERS).cast("int"))
         .withColumn("is_formal", F.col("lemma").isin(FORMAL_WORDS).cast("int"))
     )
-    conn = lexicon_df(spark, CONNECTIVES, "lemma", "conn_type")
-    sit = lexicon_df(spark, SITUATIONS, "lemma", "sit_type")
-    out = (
-        out.join(F.broadcast(conn), "lemma", "left")
-        .withColumn(
-            "conn_type",
-            F.when(F.col("tag").isin(CONNECTIVE_TAGS), F.col("conn_type")),
-        )
-        .join(F.broadcast(sit), "lemma", "left")
-    )
+    out = out.withColumn(
+        "conn_type",
+        F.when(
+            F.col("tag").isin(CONNECTIVE_TAGS),
+            lexicon_map(CONNECTIVES, F.col("lemma")),
+        ),
+    ).withColumn("sit_type", lexicon_map(SITUATIONS, F.col("lemma")))
     return out
 
 

@@ -48,3 +48,37 @@ def sql_density(num: str, den: str) -> str:
 
 def sql_freq_log(count: str, total: str) -> str:
     return f"log10((({count} + 1.0) / {total}) * 1e9)"
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point aggregation: double sums are order-dependent in the last
+# ulps, and a distributed engine cannot pin summation order. For golden /
+# cross-engine value-hash comparability every SUM/AVG over doubles is
+# computed as an exact int64 sum of 6-decimal fixed-point values, then
+# divided once. Deterministic at any parallelism.
+# ---------------------------------------------------------------------------
+
+FP_SCALE = 1_000_000
+
+
+def fp_sum(col) -> Column:
+    """Exact order-independent sum of a double column at 6dp."""
+    return F.sum(F.round(_c(col) * FP_SCALE, 0).cast("long"))
+
+
+def fp_mean(col, cnt) -> Column:
+    """round(fp_sum/scale/cnt, 6), NULL when cnt is 0."""
+    return F.when(
+        _c(cnt) != 0, F.round(fp_sum(col) / F.lit(float(FP_SCALE)) / _c(cnt), 6)
+    )
+
+
+def sql_fp_sum(col: str) -> str:
+    return f"SUM(CAST(ROUND({col} * {FP_SCALE}, 0) AS BIGINT))"
+
+
+def sql_fp_mean(col: str, cnt: str) -> str:
+    return (
+        f"CASE WHEN {cnt} <> 0 THEN "
+        f"ROUND({sql_fp_sum(col)} / {float(FP_SCALE)} / {cnt}, 6) END"
+    )

@@ -35,13 +35,16 @@ def word_freq(documents: DataFrame) -> DataFrame:
     """
     tok = tokens_long(documents)
     counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wf_count"))
-    total = tok.count()  # scalar; at scale: computed once per snapshot build
+    # corpus total as a 1-row broadcast (keeps everything one lazy DAG —
+    # no driver-side count action); the rank window runs on the
+    # vocabulary-sized aggregate, so the single partition is fine.
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("wf_total"))
     w = Window.orderBy(F.desc("wf_count"), F.asc("word"))
-    return counts.select(
+    return counts.crossJoin(F.broadcast(total)).select(
         "word",
         "wf_count",
         F.row_number().over(w).alias("wf_rank"),
-        freq_log("wf_count", F.lit(float(total))).alias("wf_freq_log"),
+        freq_log("wf_count", "wf_total").alias("wf_freq_log"),
     )
 
 

@@ -95,9 +95,17 @@ def asof_join(
     within equal `by` keys. Arrow-vectorized; each group is merged in
     O(n log n) (sort) + O(n+m).
     """
+    from pyspark.sql.types import StructField
+
+    # appended columns must be nullable: unmatched left rows carry NULLs
+    # even when the right column itself is non-nullable
     out_schema = StructType(
         [f for f in left.schema.fields]
-        + [right.schema[c] for c in ["version", *value_cols] if c in right.columns]
+        + [
+            StructField(c, right.schema[c].dataType, nullable=True)
+            for c in ["version", *value_cols]
+            if c in right.columns
+        ]
     )
     left_cols = [f.name for f in left.schema.fields]
 
@@ -169,17 +177,20 @@ def asof_doc_features(
         by=["word"],
         value_cols=["lex_value"],
     )
+    from tscan_spark.functions.scalars import fp_mean
+
+    matched = F.sum(F.col("lex_value").isNotNull().cast("int"))
     return (
         enriched.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("token_cnt"),
-            F.sum(F.col("lex_value").isNotNull().cast("int")).cast("long").alias(
-                "matched_cnt"
-            ),
+            matched.cast("long").alias("matched_cnt"),
             F.sum(F.col("lex_value").isNull().cast("int")).cast("long").alias(
                 "missing_cnt"
             ),
-            F.round(F.avg("lex_value"), 6).alias("avg_lex_value"),
+            # fixed-point mean: exact int sum -> order-independent across
+            # engines and partitionings (value-hash comparable)
+            fp_mean("lex_value", matched).alias("avg_lex_value"),
             F.max("version").cast("int").alias("max_version"),
         )
         .withColumn("token_cnt", F.col("token_cnt").cast("long"))
@@ -210,7 +221,10 @@ SELECT doc_id,
            AS matched_cnt,
        CAST(SUM(CASE WHEN lex_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS missing_cnt,
-       ROUND(AVG(lex_value), 6) AS avg_lex_value,
+       CASE WHEN SUM(CASE WHEN lex_value IS NOT NULL THEN 1 ELSE 0 END) <> 0 THEN
+            ROUND(SUM(CAST(ROUND(lex_value * 1000000, 0) AS BIGINT)) / 1000000.0
+                  / SUM(CASE WHEN lex_value IS NOT NULL THEN 1 ELSE 0 END), 6)
+       END AS avg_lex_value,
        CAST(MAX(version) AS INT) AS max_version
 FROM enriched
 GROUP BY doc_id"""

@@ -23,12 +23,22 @@ two-stage pattern (operators/skew.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscan_spark import corpus
 
 SESSION_GAP_MIN = 30
+
+
+def _us(c) -> Column:
+    """Epoch microseconds from a (possibly NTZ) timestamp column.
+
+    Parquet naive timestamps load as TIMESTAMP_NTZ in Spark 4; the
+    session timezone is pinned to UTC by session.tune(), so casting to
+    TIMESTAMP yields the same instant DuckDB's epoch_us sees."""
+    c = c if isinstance(c, Column) else F.col(c)
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +49,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user -> one row per session."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap_us = _us("ts") - _us(F.lag("ts").over(w))
     ev = ev.withColumn(
         "is_new",
         F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
@@ -54,8 +64,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.unix_micros("ts")).alias("start_us"),
-        F.max(F.unix_micros("ts")).alias("end_us"),
+        F.min(_us("ts")).alias("start_us"),
+        F.max(_us("ts")).alias("end_us"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
 
@@ -98,7 +108,7 @@ def backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        _us("ts").alias("ts_us"),
         "event_type",
         F.round(F.last(v, ignorenulls=True).over(w), 6).alias("value_filled"),
     )
@@ -119,11 +129,11 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        _us("ts").alias("ts_us"),
         F.round(F.lag("value").over(w), 6).alias("prev_value"),
         F.round(F.lead("value").over(w), 6).alias("next_value"),
         F.round(
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6, 6
+            (_us("ts") - _us(F.lag("ts").over(w))) / 1e6, 6
         ).alias("gap_sec"),
     )
 

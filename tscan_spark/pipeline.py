@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tscan_spark import annotate, corpus, lexicons
-from tscan_spark.functions.scalars import proportion, sql_proportion
+from tscan_spark.functions.scalars import (
+    FP_SCALE,
+    fp_sum,
+    proportion,
+    sql_fp_sum,
+    sql_proportion,
+)
 
 RARITY_LEVEL = 4  # reference default 10, tests use 4 (tests/tscan.cfg)
 
@@ -70,14 +76,23 @@ def _sentence_agg(wordf: DataFrame) -> DataFrame:
         F.sum(F.col("conn_type").isNotNull().cast("int")).alias("conn_cnt"),
         F.sum(F.col("sit_type").isNotNull().cast("int")).alias("sit_cnt"),
         F.sum("char_cnt").alias("char_sum"),
-        F.sum("content_freq_log").alias("wfl_sum"),
+        # fixed-point (order-independent) sum of per-word log-frequency
+        fp_sum("content_freq_log").alias("wfl_fp"),
     ]
     for band, _ in lexicons.BANDS:
         aggs.append(F.sum(f"is_{band}").alias(f"{band}_cnt"))
     sent = (
         wordf.groupBy("doc_id", "par_idx", "sent_idx")
         .agg(*aggs)
-        .withColumn("sent_wfl", proportion("wfl_sum", "content_cnt"))
+        .withColumn(
+            "sent_wfl",
+            F.when(
+                F.col("content_cnt") != 0,
+                F.round(
+                    F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt"), 6
+                ),
+            ),
+        )
     )
     return sent
 
@@ -111,23 +126,19 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(c).alias(c) for c in _SENT_SUM_COLS],
         F.count(F.lit(1)).alias("sent_cnt"),
         F.countDistinct("par_idx").alias("par_cnt"),
-        F.sum("wfl_sum").alias("wfl_sum"),
-        F.avg("sent_wfl").alias("wfl_sent_avg"),  # avg-of-avgs (A9 trap)
+        F.sum("wfl_fp").alias("wfl_fp"),  # exact long sum
+        # avg-of-avgs (A9 trap): mean of sentence means, fixed-point
+        fp_sum("sent_wfl").alias("sent_wfl_fp"),
+        F.sum(F.col("sent_wfl").isNotNull().cast("int")).alias("sent_wfl_cnt"),
     )
 
+    # one token-grain doc aggregate covers exact distincts (A4) and the
+    # per-class fan-out counters (A1 switch fan-out -> indicator sums;
+    # NULL-safe when/otherwise: `(col == c).cast(int)` is NULL on NULL
+    # rows and would make an all-NULL group sum to NULL instead of 0)
     uniq = wordf.groupBy("doc_id").agg(
         F.countDistinct("l_word").alias("uniq_words"),
         F.countDistinct("lemma").alias("uniq_lemmas"),
-    )
-    # rarity (A6): fraction of distinct lemmas with in-doc count <= level
-    lemma_cnt = wordf.groupBy("doc_id", "lemma").agg(F.count(F.lit(1)).alias("n"))
-    rarity = lemma_cnt.groupBy("doc_id").agg(
-        F.avg((F.col("n") <= RARITY_LEVEL).cast("int")).alias("rarity")
-    )
-    # per-class connective/situation counts at doc grain
-    # NULL-safe indicator sums: `(col == c).cast(int)` is NULL on NULL rows
-    # and would make an all-NULL group sum to NULL instead of 0
-    conn = wordf.groupBy("doc_id").agg(
         *[
             F.sum(F.when(F.col("conn_type") == c, 1).otherwise(0)).alias(
                 f"conn_{c.lower()}_cnt"
@@ -141,8 +152,13 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in SIT_CLASSES
         ],
     )
+    # rarity (A6): fraction of distinct lemmas with in-doc count <= level
+    lemma_cnt = wordf.groupBy("doc_id", "lemma").agg(F.count(F.lit(1)).alias("n"))
+    rarity = lemma_cnt.groupBy("doc_id").agg(
+        F.avg((F.col("n") <= RARITY_LEVEL).cast("int")).alias("rarity")
+    )
 
-    out = doc.join(uniq, "doc_id").join(rarity, "doc_id").join(conn, "doc_id")
+    out = doc.join(uniq, "doc_id").join(rarity, "doc_id")
     r6 = lambda c: F.round(c, 6)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -169,8 +185,16 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(proportion(F.col("top1000_cnt") * 100.0, "word_cnt")).alias("freq1000_p"),
         r6(proportion(F.col("top5000_cnt") * 100.0, "word_cnt")).alias("freq5000_p"),
         r6(proportion(F.col("top20000_cnt") * 100.0, "word_cnt")).alias("freq20000_p"),
-        r6(proportion("wfl_sum", "content_cnt")).alias("word_freq_log"),
-        r6(F.col("wfl_sent_avg")).alias("wfl_sent_avg"),
+        F.when(
+            F.col("content_cnt") != 0,
+            F.round(F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt"), 6),
+        ).alias("word_freq_log"),
+        F.when(
+            F.col("sent_wfl_cnt") != 0,
+            F.round(
+                F.col("sent_wfl_fp") / F.lit(float(FP_SCALE)) / F.col("sent_wfl_cnt"), 6
+            ),
+        ).alias("wfl_sent_avg"),
         r6(F.col("rarity")).alias("rarity"),
     )
 
@@ -219,7 +243,7 @@ sentf AS (
            SUM(CASE WHEN conn_type IS NOT NULL THEN 1 ELSE 0 END) AS conn_cnt,
            SUM(CASE WHEN sit_type IS NOT NULL THEN 1 ELSE 0 END) AS sit_cnt,
            SUM(char_cnt) AS char_sum,
-           SUM(content_freq_log) AS wfl_sum,
+           SUM(CAST(ROUND(content_freq_log * 1000000, 0) AS BIGINT)) AS wfl_fp,
            {band_sums}
     FROM wordf
     GROUP BY doc_id, par_idx, sent_idx
@@ -252,8 +276,11 @@ docf AS (
            {sum_cols},
            COUNT(*) AS sent_cnt,
            COUNT(DISTINCT par_idx) AS par_cnt,
-           SUM(wfl_sum) AS wfl_sum,
-           AVG(CASE WHEN content_cnt <> 0 THEN wfl_sum / content_cnt END) AS wfl_sent_avg
+           SUM(wfl_fp) AS wfl_fp,
+           SUM(CAST(ROUND((CASE WHEN content_cnt <> 0
+                    THEN ROUND(wfl_fp / 1000000.0 / content_cnt, 6) END) * 1000000, 0)
+                    AS BIGINT)) AS sent_wfl_fp,
+           SUM(CASE WHEN content_cnt <> 0 THEN 1 ELSE 0 END) AS sent_wfl_cnt
     FROM sentf
     GROUP BY doc_id
 ),
@@ -286,8 +313,10 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ROUND({sql_proportion("top1000_cnt * 100.0", "word_cnt")}, 6) AS freq1000_p,
        ROUND({sql_proportion("top5000_cnt * 100.0", "word_cnt")}, 6) AS freq5000_p,
        ROUND({sql_proportion("top20000_cnt * 100.0", "word_cnt")}, 6) AS freq20000_p,
-       ROUND({sql_proportion("wfl_sum", "content_cnt")}, 6) AS word_freq_log,
-       ROUND(wfl_sent_avg, 6) AS wfl_sent_avg,
+       CASE WHEN content_cnt <> 0
+            THEN ROUND(wfl_fp / 1000000.0 / content_cnt, 6) END AS word_freq_log,
+       CASE WHEN sent_wfl_cnt <> 0
+            THEN ROUND(sent_wfl_fp / 1000000.0 / sent_wfl_cnt, 6) END AS wfl_sent_avg,
        ROUND(rarity, 6) AS rarity
 FROM docf
 JOIN uniq USING (doc_id)

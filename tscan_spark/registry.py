@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tscan_spark import annotate, corpus, pipeline
+from tscan_spark.operators import asof, overlap, temporal
 from tscan_spark.session import tune
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -77,11 +78,11 @@ def q_word_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tscan_sentence_features",
     oracle=pipeline.sql_sentence_features()
-    + " SELECT * EXCLUDE (wfl_sum) FROM sentf",
+    + " SELECT * EXCLUDE (wfl_fp) FROM sentf",
 )
 def q_sentence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 sentence fold: counter sums at (doc, par, sent) grain."""
-    return pipeline.sentence_features(spark, sf_dir).drop("sent_wfl", "wfl_sum")
+    return pipeline.sentence_features(spark, sf_dir).drop("sent_wfl", "wfl_fp")
 
 
 @query("tscan_doc_features", oracle=pipeline.sql_doc_features())
@@ -110,3 +111,73 @@ GROUP BY doc_id, source""",
 def q_docs_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BASELINE.json input_hint shape (exact token-array equality)."""
     return corpus.docs_tokenized(corpus.load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Window / lag operators (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+_ANNOT_PRELUDE = (
+    "WITH " + corpus.SQL_TOK_CTE.strip() + ",\n" + annotate.sql_annot_cte().strip()
+)
+
+
+@query(
+    "sentence_overlap",
+    oracle=_ANNOT_PRELUDE + overlap.SQL_SENTENCE_OVERLAP_TMPL,
+)
+def q_sentence_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 sentence->sentence argument overlap (lag-1 candidate buffers,
+    paragraph reset, first sentence NA)."""
+    return overlap.sentence_overlap(spark, sf_dir)
+
+
+@query(
+    "doc_sliding_overlap",
+    oracle=_ANNOT_PRELUDE
+    + overlap.SQL_DOC_SLIDING_OVERLAP_TMPL.format(n=overlap.OVERLAP_SIZE),
+)
+def q_doc_sliding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 document sliding-buffer overlap (rowsBetween(-N, -1))."""
+    return overlap.doc_sliding_overlap(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators (north rule L4)
+# ---------------------------------------------------------------------------
+
+
+@query("sessionize_events", oracle=temporal.SQL_SESSIONIZE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (30-min gap)."""
+    return temporal.sessionize(spark, sf_dir)
+
+
+@query("backfill_events", oracle=temporal.SQL_BACKFILL)
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill of error-event values (last non-null over time)."""
+    return temporal.backfill(spark, sf_dir)
+
+
+@query("lag_lead_events", oracle=temporal.SQL_LAG_LEAD)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag/lead values + inter-event gap."""
+    return temporal.lag_lead(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time as-of lexicon join (SURVEY.md §2.4 J5, the north-rule core)
+# ---------------------------------------------------------------------------
+
+
+@query("asof_lexicon_features", oracle=asof.sql_asof_doc_features())
+def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc features against the latest lexicon snapshot <= event_ts
+    (sorted-partition merge_asof kernel; zero temporal leakage)."""
+    return asof.asof_doc_features(spark, sf_dir, strategy="merge")
+
+
+@query("asof_lexicon_features_broadcast", oracle=asof.sql_asof_doc_features())
+def q_asof_features_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the broadcast + max_by physical strategy."""
+    return asof.asof_doc_features(spark, sf_dir, strategy="broadcast")
