@@ -35,3 +35,40 @@ def test_asof_no_temporal_leakage(spark):
             assert r.matched_cnt == 0 and r.max_version is None, r
         elif days < 40:  # only snapshot 0 valid
             assert r.max_version in (None, 0), r
+
+
+def test_multiword_matches_oracle(spark, oracle):
+    from tscan_spark.operators import sequential
+
+    df = sequential.multiword_matches(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, sequential.sql_multiword_matches())
+
+
+def test_mtld_golden(spark, oracle):
+    """MTLD kernel vs an independent per-doc Python fold over the same
+    token streams (golden semantics: threshold reset + remainder +
+    bidirectional average)."""
+    from tscan_spark.operators import sequential
+
+    got = {r.doc_id: r for r in sequential.doc_mtld(spark, SF_DIR).collect()}
+    rows = oracle.sql(
+        "SELECT doc_id, string_split(text, ' ') AS ws FROM documents"
+    ).fetchall()
+    assert len(got) == len(rows)
+    for doc_id, ws in rows:
+        ws = [w for w in ws if w]
+        exp = round(sequential.mtld([w.lower() for w in ws]), 6)
+        assert got[doc_id].mtld_words == exp, (doc_id, got[doc_id].mtld_words, exp)
+
+
+def test_mtld_known_values():
+    from tscan_spark.operators import sequential
+
+    # all-unique stream: TTR never drops to threshold; remainder only
+    toks = list("abcdefghij")
+    # fwd == bwd; factors = (1-1.0)/(1-θ)?  ttr stays 1.0 -> remainder 0
+    # -> factors 0 -> score 0 by the reference's convention
+    assert sequential.mtld(toks) == 0.0
+    # repeating one token: ttr drops below threshold at the 2nd token
+    v = sequential.mtld(["a"] * 10)
+    assert v > 0

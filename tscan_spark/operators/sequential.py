@@ -1,0 +1,211 @@
+"""Order-sensitive sequential kernels (SURVEY.md §2.3, A5).
+
+These are the operators Spark's built-in aggregates cannot express —
+greedy scans and reset-on-threshold folds over the token *sequence* —
+implemented as Arrow-vectorized ``applyInPandas`` kernels over doc
+groups (never per-row Python UDFs).
+
+MTLD (McCarthy & Jarvis; reference ``calculate_mtld``
+/root/reference/src/tscan.cxx:1806-1855):
+  running type-token ratio over the stream; every time TTR drops to
+  <= the threshold (0.720) the factor count increments and the
+  types/tokens state resets; the remainder contributes
+  (1 - ttr) / (1 - threshold) partial factor; score = N / factors;
+  final value is the average of the forward and reversed sequence
+  (``average_mtld`` src/tscan.cxx:1857-1875). Computed per document for
+  several token streams (words, lemmas, content words — the reference
+  runs 15 streams, src/tscan.cxx:1877-1975).
+
+Greedy multi-word matching (template ``resolveMultiWord``
+include/tscan/stats.h:966-991; instances M1/M2/M4-M6
+src/sentstats.cxx:270-537, src/tscan.cxx:2910-2995):
+  scan the sentence left to right; at each position try the longest
+  phrase (up to MAX_PHRASE words) against the lexicon; on a hit, count
+  it and jump past the consumed words; else advance one.
+
+The greedy matcher also has a DuckDB oracle — a recursive CTE that
+replays the exact scan — so the driver can value-check it; MTLD is
+checked rows-only by the driver and golden-tested against a pure-Python
+reference implementation in tests/.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscan_spark import annotate, corpus
+
+MTLD_THRESHOLD = 0.720  # reference default, src/tscan.cxx:952
+
+# Synthetic multi-word lexicons (surface-word phrases, space-joined).
+# Mirrors the reference's phrase lexicons (intensify/formal/vzexpr
+# loaders, src/tscan.cxx:332-367, 599-648, 744-776).
+MW_LEXICONS: dict[str, list[str]] = {
+    "mw_conn": ["value vector", "window value vector", "the table"],
+    "mw_intens": ["big fast", "fast big", "small slow"],
+    "mw_prep": ["the key", "a key order", "order sort"],
+}
+MAX_PHRASE = 3
+
+
+def mtld_fold(tokens: list[str], threshold: float = MTLD_THRESHOLD) -> float:
+    """Single-direction MTLD factor fold (tscan.cxx:1806-1855)."""
+    factors = 0.0
+    types: set[str] = set()
+    token_cnt = 0
+    ttr = 1.0
+    for t in tokens:
+        token_cnt += 1
+        types.add(t)
+        ttr = len(types) / token_cnt
+        if ttr <= threshold:
+            factors += 1.0
+            types.clear()
+            token_cnt = 0
+            ttr = 1.0
+    if token_cnt > 0:
+        factors += (1.0 - ttr) / (1.0 - threshold)
+    if factors == 0.0:
+        return 0.0
+    return len(tokens) / factors
+
+
+def mtld(tokens: list[str]) -> float:
+    """Bidirectional average (average_mtld, tscan.cxx:1857-1875)."""
+    if not tokens:
+        return 0.0
+    fwd = mtld_fold(tokens)
+    bwd = mtld_fold(list(reversed(tokens)))
+    return (fwd + bwd) / 2.0
+
+
+def doc_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MTLD over three token streams.
+
+    One shuffle on doc_id; the kernel receives each document's tokens as
+    one pandas group (Arrow batch), sorts by word_idx and folds.
+    """
+    tok = annotate.annotate(corpus.tokens_long(corpus.load(spark, sf_dir, "documents")))
+    slim = tok.select("doc_id", "word_idx", "l_word", "lemma", "is_content")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("word_idx")
+        words = pdf["l_word"].tolist()
+        lemmas = pdf["lemma"].tolist()
+        content = pdf.loc[pdf["is_content"] == 1, "l_word"].tolist()
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "mtld_words": [round(mtld(words), 6)],
+                "mtld_lemmas": [round(mtld(lemmas), 6)],
+                "mtld_content": [round(mtld(content), 6)],
+            }
+        )
+
+    return slim.groupBy("doc_id").applyInPandas(
+        kernel,
+        schema="doc_id long, mtld_words double, mtld_lemmas double, mtld_content double",
+    )
+
+
+def greedy_match_counts(words: list[str], phrases: set[str], max_len: int = MAX_PHRASE) -> int:
+    """Greedy longest-match scan with consumption (stats.h:966-991)."""
+    hits = 0
+    i = 0
+    n = len(words)
+    while i < n:
+        matched = 0
+        for ln in range(min(max_len, n - i), 1, -1):
+            if " ".join(words[i : i + ln]) in phrases:
+                matched = ln
+                break
+        if matched:
+            hits += 1
+            i += matched
+        else:
+            i += 1
+    return hits
+
+
+def multiword_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain greedy multi-word match counts for each lexicon
+    family, summed to (doc, sentence) rows."""
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    slim = tok.select(
+        "doc_id", "sent_idx", "word_idx", F.lower(F.col("word")).alias("l_word")
+    )
+    fams = sorted(MW_LEXICONS)
+    lexsets = {f: set(MW_LEXICONS[f]) for f in fams}
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("word_idx")
+        out_rows = []
+        for (doc_id, sent_idx), g in pdf.groupby(["doc_id", "sent_idx"], sort=True):
+            words = g["l_word"].tolist()
+            row = {"doc_id": doc_id, "sent_idx": sent_idx}
+            for f in fams:
+                row[f"{f}_cnt"] = greedy_match_counts(words, lexsets[f])
+            out_rows.append(row)
+        return pd.DataFrame(out_rows, columns=["doc_id", "sent_idx"] + [f"{f}_cnt" for f in fams])
+
+    schema = "doc_id long, sent_idx int, " + ", ".join(f"{f}_cnt int" for f in fams)
+    return slim.groupBy("doc_id").applyInPandas(kernel, schema=schema)
+
+
+def sql_multiword_matches() -> str:
+    """Recursive-CTE oracle replaying the greedy scans per sentence."""
+    fams = sorted(MW_LEXICONS)
+
+    def scan_cte(fam: str) -> str:
+        lits = ", ".join(f"'{p}'" for p in MW_LEXICONS[fam])
+        # try length 3 then 2 at pos (1-based list ops); advance greedily
+        return f"""
+scan_{fam} (doc_id, sent_idx, pos, hits) AS (
+    SELECT doc_id, sent_idx, 1, 0 FROM sent_arr
+    UNION ALL
+    SELECT s.doc_id, s.sent_idx,
+           CASE
+             WHEN pos + 2 <= len(a.words)
+                  AND array_to_string(a.words[pos:pos+2], ' ') IN ({lits}) THEN pos + 3
+             WHEN pos + 1 <= len(a.words)
+                  AND array_to_string(a.words[pos:pos+1], ' ') IN ({lits}) THEN pos + 2
+             ELSE pos + 1
+           END,
+           hits + CASE
+             WHEN (pos + 2 <= len(a.words)
+                   AND array_to_string(a.words[pos:pos+2], ' ') IN ({lits}))
+               OR (pos + 1 <= len(a.words)
+                   AND array_to_string(a.words[pos:pos+1], ' ') IN ({lits})) THEN 1
+             ELSE 0
+           END
+    FROM scan_{fam} s
+    JOIN sent_arr a USING (doc_id, sent_idx)
+    WHERE pos <= len(a.words)
+),
+final_{fam} AS (
+    SELECT doc_id, sent_idx, MAX(hits) AS {fam}_cnt
+    FROM scan_{fam}
+    GROUP BY doc_id, sent_idx
+)"""
+
+    joins = "\n".join(f"JOIN final_{f} USING (doc_id, sent_idx)" for f in fams)
+    cols = ",\n       ".join(f"CAST({f}_cnt AS INT) AS {f}_cnt" for f in fams)
+    return (
+        "WITH RECURSIVE "
+        + corpus.SQL_TOK_CTE.strip().replace("tok0 AS", "tok0 AS", 1)
+        + """,
+sent_arr AS (
+    SELECT doc_id, sent_idx, list(lower(word) ORDER BY word_idx) AS words
+    FROM tok
+    GROUP BY doc_id, sent_idx
+),"""
+        + ",".join(scan_cte(f) for f in fams)
+        + f"""
+SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+       {cols}
+FROM sent_arr
+{joins}"""
+    )

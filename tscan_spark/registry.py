@@ -181,3 +181,24 @@ def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_features_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics via the broadcast + max_by physical strategy."""
     return asof.asof_doc_features(spark, sf_dir, strategy="broadcast")
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive sequential kernels (SURVEY.md §2.3, A5)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import sequential  # noqa: E402
+
+
+@query("multiword_matches", oracle=sequential.sql_multiword_matches())
+def q_multiword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M7 greedy multi-word lexicon matching (longest match, consumed
+    tokens skipped) as an applyInPandas kernel; oracle is a recursive
+    CTE replaying the same scan."""
+    return sequential.multiword_matches(spark, sf_dir)
+
+
+@query("doc_mtld")  # order-sensitive fold: no SQL oracle (rows-only check)
+def q_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 MTLD (bidirectional, threshold 0.720) over 3 token streams."""
+    return sequential.doc_mtld(spark, sf_dir)
