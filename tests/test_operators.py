@@ -1,6 +1,7 @@
 """Window, temporal and as-of operators vs the DuckDB oracle."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR, assert_matches_oracle
 from tscan_spark.registry import ORACLES, QUERIES
@@ -72,3 +73,44 @@ def test_mtld_known_values():
     # repeating one token: ttr drops below threshold at the 2nd token
     v = sequential.mtld(["a"] * 10)
     assert v > 0
+
+
+NEW_ORACLED = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_docs",
+    "simhash_pairs",
+    "similarity_bruteforce_topk",
+    "similarity_lsh_topk",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "doc_fingerprint",
+]
+
+
+@pytest.mark.parametrize("name", NEW_ORACLED)
+def test_pipeline_ops_match_oracle(spark, oracle, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES[name])
+
+
+def test_multimodal_decode_matches_oracle(spark, oracle):
+    df = QUERIES["multimodal_decode"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["multimodal_decode"])
+
+
+def test_salted_aggregation_equivalence(spark):
+    """Salted two-stage count == plain groupBy count (exactness of the
+    skew path)."""
+    from tscan_spark import corpus
+    from tscan_spark.operators import skew
+
+    tok = corpus.tokens_long(corpus.load(spark, SF_DIR, "documents"))
+    plain = {
+        (r.word,): r.cnt
+        for r in tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    salted = {(r.word,): r.cnt for r in skew.salted_count(tok, ["word"]).collect()}
+    assert plain == salted

@@ -1,0 +1,212 @@
+"""Text analysis operators for training-data pipelines: language id,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions over the token grain — whole-stage codegen,
+no UDFs — with DuckDB oracles generated from the same constants.
+
+- language id: marker-lexicon voting (n-gram-heuristic stand-in; the
+  container has no langid model, and the rule must be replayable by the
+  SQL oracle). Deterministic arg-max with fixed priority order.
+- quality score: length/stopword/diversity components, the shape of
+  C4/Gopher-style quality filters, with reference NA semantics.
+- token stats: whitespace tokens + a BPE-ish subword estimate
+  (ceil(chars/4) per word, the common '~4 chars per token' rule).
+- fingerprint: positional polynomial hash over dense token ids, an
+  order-*sensitive* exact signature (reordered tokens change it) that is
+  still order-independently aggregable (sum mod P over position terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscan_spark import corpus
+from tscan_spark.annotate import STOP_LEMMATA
+
+FP_P = 2147483647  # fingerprint modulus (2^31 - 1)
+FP_MIX = 2654435761  # Knuth multiplicative constant
+
+LANG_MARKERS = {
+    "en": ["the", "a", "fast", "small"],
+    "es": ["data", "table", "sort"],
+    "zh": ["hash", "join", "merge"],
+}
+LANG_PRIORITY = ["en", "es", "zh"]  # deterministic tie-break order
+
+
+def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-voting language id with per-language scores."""
+    tok = _tok(spark, sf_dir)
+    aggs = [
+        F.sum(F.col("word").isin(LANG_MARKERS[lang]).cast("int")).alias(f"score_{lang}")
+        for lang in LANG_PRIORITY
+    ]
+    doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"), *aggs)
+    # arg-max with forward priority on ties (same CASE order as the SQL)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PRIORITY])
+    label = F.lit(None).cast("string")
+    for lang in reversed(LANG_PRIORITY):
+        label = F.when(F.col(f"score_{lang}") == best, lang).otherwise(label)
+    return doc.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        label.alias("pred_lang"),
+    )
+
+
+def sql_lang_id() -> str:
+    score_cols = ",\n           ".join(
+        "SUM(CASE WHEN word IN ({}) THEN 1 ELSE 0 END) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang
+        )
+        for lang in LANG_PRIORITY
+    )
+    greatest = "GREATEST({})".format(
+        ", ".join(f"score_{lang}" for lang in LANG_PRIORITY)
+    )
+    case = " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in LANG_PRIORITY
+    )
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+d AS (
+    SELECT doc_id, COUNT(*) AS n_tok,
+           {score_cols}
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       {", ".join(f"CAST(score_{lang} AS BIGINT) AS score_{lang}" for lang in LANG_PRIORITY)},
+       CASE {case} END AS pred_lang
+FROM d"""
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality components + a weighted score.
+
+    Components: mean word length, stop-word ratio, type-token ratio,
+    length band. Score = 0.25*len_ok + 0.25*wlen_ok + 0.25*(1-stop_ratio)
+    + 0.25*ttr, rounded 6dp; NULL-safe on empty docs.
+    """
+    tok = _tok(spark, sf_dir)
+    stop_lits = STOP_LEMMATA
+    doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("word")).alias("n_chars"),
+        F.sum(F.col("word").isin(stop_lits).cast("int")).alias("n_stop"),
+        F.countDistinct("word").alias("n_uniq"),
+    )
+    avg_wlen = F.col("n_chars") / F.col("n_tok")
+    stop_ratio = F.col("n_stop") / F.col("n_tok")
+    ttr = F.col("n_uniq") / F.col("n_tok")
+    len_ok = ((F.col("n_tok") >= 20) & (F.col("n_tok") <= 200)).cast("int")
+    wlen_ok = ((avg_wlen >= 3.0) & (avg_wlen <= 10.0)).cast("int")
+    score = 0.25 * len_ok + 0.25 * wlen_ok + 0.25 * (1.0 - stop_ratio) + 0.25 * ttr
+    return doc.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def sql_quality_score() -> str:
+    stop_lits = ", ".join(f"'{w}'" for w in STOP_LEMMATA)
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+d AS (
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           SUM(length(word)) AS n_chars,
+           SUM(CASE WHEN word IN ({stop_lits}) THEN 1 ELSE 0 END) AS n_stop,
+           COUNT(DISTINCT word) AS n_uniq
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       ROUND(n_chars * 1.0 / n_tok, 6) AS avg_word_len,
+       ROUND(n_stop * 1.0 / n_tok, 6) AS stop_ratio,
+       ROUND(n_uniq * 1.0 / n_tok, 6) AS ttr,
+       ROUND(0.25 * (CASE WHEN n_tok >= 20 AND n_tok <= 200 THEN 1 ELSE 0 END)
+             + 0.25 * (CASE WHEN n_chars * 1.0 / n_tok >= 3.0
+                             AND n_chars * 1.0 / n_tok <= 10.0 THEN 1 ELSE 0 END)
+             + 0.25 * (1.0 - n_stop * 1.0 / n_tok)
+             + 0.25 * (n_uniq * 1.0 / n_tok), 6) AS quality
+FROM d"""
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate per document."""
+    tok = _tok(spark, sf_dir)
+    subwords = F.ceil(F.length("word") / 4.0)
+    return tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ws_tokens"),
+        F.sum(subwords).cast("long").alias("n_subword_est"),
+        F.max(F.length("word")).cast("int").alias("max_word_len"),
+        F.countDistinct("word").cast("long").alias("n_uniq_words"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id, source,
+       COUNT(*) AS n_ws_tokens,
+       CAST(SUM(CAST(ceil(length(word) / 4.0) AS BIGINT)) AS BIGINT) AS n_subword_est,
+       CAST(MAX(length(word)) AS INT) AS max_word_len,
+       COUNT(DISTINCT word) AS n_uniq_words
+FROM tok
+GROUP BY doc_id, source"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional document fingerprint.
+
+    fp = SUM over positions of ((token_id + 1) * ((pos + 1) * MIX mod P))
+    mod P — exact int64 arithmetic, replayable anywhere, and any token
+    reorder/edit changes it (used for fast exact-sequence identity at
+    corpus scale; cheaper than comparing token arrays).
+    """
+    d = corpus.load(spark, sf_dir, "documents")
+    tok = corpus.tokens_long(d)
+    v = corpus.vocab(d)
+    t = tok.join(F.broadcast(v), "word")
+    term = (
+        (F.col("token_id").cast("long") + 1)
+        * ((F.col("word_idx").cast("long") + 1) * FP_MIX % FP_P)
+        % FP_P
+    )
+    return t.groupBy("doc_id").agg(
+        (F.sum(term) % FP_P).cast("long").alias("fingerprint"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+    )
+
+
+def sql_fingerprint() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+v AS (
+    SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS token_id
+    FROM (SELECT DISTINCT word FROM tok)
+)
+SELECT doc_id,
+       CAST(SUM((token_id + 1) * ((CAST(word_idx AS BIGINT) + 1) * {FP_MIX} % {FP_P})
+                % {FP_P}) % {FP_P} AS BIGINT) AS fingerprint,
+       COUNT(*) AS n_tok
+FROM tok JOIN v USING (word)
+GROUP BY doc_id"""
+    )

@@ -202,3 +202,95 @@ def q_multiword(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 MTLD (bidirectional, threshold 0.720) over 3 token streams."""
     return sequential.doc_mtld(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import dedup, similarity, textstats  # noqa: E402
+
+
+@query("dedup_exact", oracle=dedup.SQL_EXACT_DEDUP)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups via md5(text) hash-groupBy."""
+    return dedup.exact_dedup(spark, sf_dir)
+
+
+@query("dedup_ngram_jaccard", oracle=dedup.sql_ngram_jaccard())
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram shingle Jaccard (inverted-index
+    candidate join)."""
+    return dedup.ngram_jaccard_pairs(spark, sf_dir)
+
+
+@query("dedup_minhash_lsh", oracle=dedup.sql_minhash_lsh_pairs())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidates, exact-Jaccard verified."""
+    return dedup.minhash_lsh_pairs(spark, sf_dir)
+
+
+@query("simhash_docs", oracle=dedup.sql_simhash_docs())
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document."""
+    return dedup.simhash_docs(spark, sf_dir)
+
+
+@query("simhash_pairs", oracle=dedup.sql_simhash_pairs())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming<=3) via 4x4-bit band buckets."""
+    return dedup.simhash_pairs(spark, sf_dir)
+
+
+@query("similarity_bruteforce_topk", oracle=similarity.sql_brute_force_topk())
+def q_sim_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query vectors (fixed-point
+    dot products, bit-identical across engines)."""
+    return similarity.brute_force_topk(spark, sf_dir)
+
+
+@query("similarity_lsh_topk", oracle=similarity.sql_lsh_bucket_topk())
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit-bucketed ANN top-5 (the scale path)."""
+    return similarity.lsh_bucket_topk(spark, sf_dir)
+
+
+@query("lang_id", oracle=textstats.sql_lang_id())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-voting language identification."""
+    return textstats.lang_id(spark, sf_dir)
+
+
+@query("quality_score", oracle=textstats.sql_quality_score())
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style document quality components + weighted score."""
+    return textstats.quality_score(spark, sf_dir)
+
+
+@query(
+    "token_stats",
+    oracle="WITH " + corpus.SQL_TOK_CTE.strip() + textstats.SQL_TOKEN_STATS,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + BPE-ish subword estimate."""
+    return textstats.token_stats(spark, sf_dir)
+
+
+@query("doc_fingerprint", oracle=textstats.sql_fingerprint())
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional polynomial fingerprint per document."""
+    return textstats.fingerprint(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + stubbed decode over mapInPandas)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import multimodal  # noqa: E402
+
+
+@query("multimodal_decode", oracle=multimodal.SQL_DECODE_FEATURES)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas decode -> typed feature struct
+    (codec stubbed deterministically; plumbing and batch shape real)."""
+    return multimodal.decode_features(spark, sf_dir)
