@@ -1,0 +1,102 @@
+"""Structured Streaming surface + checkpoint/resume semantics."""
+
+import shutil
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_streaming_doc_features_matches_batch(spark, tmp_path):
+    """availableNow drain of the streaming ladder == batch result."""
+    from tscan_spark import corpus
+    from tscan_spark.streaming import stream
+
+    # file stream sources want a directory of files
+    srcdir = tmp_path / "docs_stream"
+    srcdir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", srcdir / "part-0.parquet")
+    sdf = stream.streaming_doc_features(spark, str(srcdir))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sdocf")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.source): (r.word_cnt, r.content_incl_cnt, r.neg_cnt, r.char_sum)
+        for r in spark.sql("SELECT * FROM sdocf").collect()
+    }
+    batch = {
+        (r.doc_id, r.source): (r.word_cnt, r.content_incl_cnt, r.neg_cnt, r.char_sum)
+        for r in stream.doc_feature_transform(
+            corpus.load(spark, SF_DIR, "documents")
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from tscan_spark.streaming import stream
+
+    srcdir = tmp_path / "events_stream"
+    srcdir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", srcdir / "part-0.parquet")
+    sdf = stream.streaming_session_counts(spark, str(srcdir))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ssess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM ssess").collect()
+    assert len(rows) > 0
+    # session windows never overlap per user and respect the gap
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.start_us, r.end_us))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1  # no overlap
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill after 3 buckets -> resume completes only the remainder and
+    the union equals the direct batch result."""
+    from tscan_spark import corpus, pipeline
+    from tscan_spark.operators import checkpoint
+
+    df = pipeline.doc_features(spark, SF_DIR)
+    out = str(tmp_path / "ckpt_out")
+
+    class Boom(Exception):
+        pass
+
+    calls = []
+
+    def crash_after_3(b):
+        calls.append(b)
+        if len(calls) == 3:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        checkpoint.run_checkpointed(df, out, on_bucket=crash_after_3)
+    assert len(checkpoint.completed_buckets(out)) == 3
+
+    m = checkpoint.run_checkpointed(df, out)
+    assert m["buckets_skipped"] == 3
+    assert m["buckets_run"] == checkpoint.DEFAULT_BUCKETS - 3
+
+    got = checkpoint.read_checkpointed(spark, out)
+    assert got.count() == df.count()
+    lineage = checkpoint.job_lineage(out)
+    assert len(lineage) == checkpoint.DEFAULT_BUCKETS
+    assert sum(r["rows"] for r in lineage) == df.count()
+    shutil.rmtree(out)

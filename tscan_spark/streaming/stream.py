@@ -1,0 +1,97 @@
+"""Structured Streaming surface for the engine.
+
+The reference's only streaming mode is a stdin filename loop
+(`tscan -S`, /root/reference/src/tscan.cxx:3414-3492) — one document at
+a time, results echoed per file. The Spark-native generalization:
+
+- :func:`stream_documents` — file-source stream over a documents
+  directory (new parquet files = new documents; the CLAM/stdin analog).
+- :func:`streaming_doc_features` — the same annotate + aggregate ladder
+  applied to the stream (stateless per-doc features, so plain
+  transformations work; the batch and streaming plans share code).
+- :func:`streaming_session_counts` — watermarked sliding-window event
+  counts (late data handled by the watermark) — the event-time analog
+  of the batch sessionizer in operators/temporal.py.
+
+Tests drive these with ``trigger(availableNow=True)`` into memory sinks,
+which exercises the real micro-batch engine without a long-running job.
+Incremental/resumable batch processing at 10^12 scale remains
+checkpointed batch over snapshot tables (see operators/checkpoint.py);
+Structured Streaming covers the low-latency ingest path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscan_spark import annotate, corpus
+
+
+def stream_documents(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """File-source document stream (one parquet file per micro-batch add)."""
+    schema = schema or "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def doc_feature_transform(documents: DataFrame) -> DataFrame:
+    """Stateless per-document feature projection shared by batch and
+    streaming: token counts + content/negation densities per doc.
+
+    (Streaming-safe: no global lexicon derivation — the frequency lexicon
+    is a *snapshot table* at runtime; here the closed-class features.)
+    """
+    tok = annotate.annotate(corpus.tokens_long(documents))
+    return tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("word_cnt"),
+        F.sum("is_content").alias("content_incl_cnt"),
+        F.sum("is_neg").alias("neg_cnt"),
+        F.sum("char_cnt").alias("char_sum"),
+    )
+
+
+def streaming_doc_features(spark: SparkSession, path: str) -> DataFrame:
+    """The per-doc feature ladder over a document stream.
+
+    groupBy on a streaming frame -> stateful aggregation in complete/
+    update mode; per-doc keys arrive once in the file-source case so
+    state stays bounded by the trigger window.
+    """
+    return doc_feature_transform(stream_documents(spark, path))
+
+
+def streaming_session_counts(
+    spark: SparkSession, path: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Watermarked event-time session windows per user over an events
+    stream (F.session_window = native gap-based sessionization)."""
+    ev = spark.readStream.schema(
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string,"
+        " value double, props string"
+    ).parquet(path)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, query_name: str) -> list:
+    """Drain a stream into a memory sink with availableNow and return the
+    collected rows (test/driver helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
