@@ -49,6 +49,9 @@ def main() -> None:
             # count() forces full execution without driver-collect overhead
             df.count()
             best = min(best, time.time() - t0)
+        # drop any caches a query persisted so later queries aren't
+        # penalized by leaked storage/GC pressure
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)

@@ -36,3 +36,10 @@ def test_sentence_features_match_oracle(spark, oracle):
         + " SELECT * EXCLUDE (wfl_fp) FROM sentf"
     )
     assert_matches_oracle(df, oracle, sql)
+
+
+def test_doc_features_ext_match_oracle(spark, oracle):
+    from tscan_spark import pipeline_ext
+
+    df = pipeline_ext.doc_features_ext(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, pipeline_ext.sql_doc_features_ext())

@@ -212,3 +212,175 @@ annot AS (
            {sql_case_map("lemma", SITUATIONS)} AS sit_type
     FROM annot0
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Extended classifier battery (W4, W7, W10-W16, W24-W26)
+# ---------------------------------------------------------------------------
+
+# W7 checkMorphNeg (src/wordstats.cxx:288-305): morphological negation by
+# prefix list; synthetic prefixes over this vocabulary.
+MORPH_NEG_PREFIXES = ["ba", "fi"]
+
+# W10/W11 noun/name semantic types (fillN src/tscan.cxx:223-262,
+# checkNoun 1337-1396): lemma -> semantic class; SEM::Type analog.
+NOUN_SEM = {
+    "data": "CONCRETE",
+    "batch": "ABSTRACT",
+    "column": "HUMAN",
+    "customer": "HUMAN",
+    "agg": "CONCRETE",
+    "filter": "ABSTRACT",
+    "dup": "CONCRETE",
+}
+
+# W15 adverb types (fill_adverbs src/tscan.cxx:406-443); MANNER adverbs
+# are the *strict* content words (Adverb::isContent src/adverb.cxx:307-309)
+ADVERB_TYPES = {
+    "scan": "GENERAL",
+    "slow": "MANNER",
+    "small": "MANNER",
+    "sort": "GENERAL",
+    "spark": "MANNER",
+    "stream": "GENERAL",
+}
+
+# W16 abbreviations (fill afk src/tscan.cxx:650-705): word -> domain
+AFK_DOMAINS = {"a": "OVERIG", "agg": "TECH", "dup": "TECH"}
+
+# W24 nominalization suffixes (checkNominal src/wordstats.cxx:61-138)
+NOMINAL_SUFFIXES = ["er", "ue"]
+
+# W25 compounds: length >= threshold splits into head + 3-char satellite
+# (compound info from fillN; formForHead src/tscan.cxx:1260-1296)
+COMPOUND_MIN_LEN = 6
+COMPOUND_SAT_LEN = 3
+
+
+def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
+    """Extended per-word classifiers on top of :func:`annotate`.
+
+    Adds: morph negation (W7), noun semantic type w/ word fallback
+    (W10/W11 inflection-cascade analog), adverb type + strict-content
+    flag (W15/W23 strict), abbreviation domain (W16), nominalization
+    (W24), compound split + char counts (W25), personal reference (W26),
+    synthetic CGN props (W4: verb form for WW, pronoun person for VNW,
+    adjective position for ADJ).
+    """
+    out = tok_annotated
+    w, lem, tag = F.col("word"), F.col("lemma"), F.col("tag")
+
+    # W7: prefix morphological negation
+    morph_neg = F.lit(False)
+    for p in MORPH_NEG_PREFIXES:
+        morph_neg = morph_neg | w.startswith(p)
+    out = out.withColumn("is_morph_neg", morph_neg.cast("int"))
+
+    # W10/W11: semantic type, lemma lookup with word fallback (the
+    # reference's inflection-fallback cascade as coalesce of lookups)
+    out = out.withColumn(
+        "noun_sem",
+        F.when(
+            tag.isin(["N", "ADJ"]),
+            F.coalesce(lexicon_map(NOUN_SEM, lem), lexicon_map(NOUN_SEM, w)),
+        ),
+    )
+
+    # W15: adverb type; strict content = content minus non-MANNER adverbs
+    out = out.withColumn("adverb_type", F.when(tag == "BW", lexicon_map(ADVERB_TYPES, w)))
+    out = out.withColumn(
+        "is_content_strict",
+        (
+            (F.col("is_content") == 1)
+            & ((tag != "BW") | (F.col("adverb_type") == "MANNER"))
+        ).cast("int"),
+    )
+
+    # W16: abbreviation domain (N/SPEC gate like checkAfk)
+    out = out.withColumn(
+        "afk_domain", F.when(tag.isin(["N", "SPEC"]), lexicon_map(AFK_DOMAINS, w))
+    )
+
+    # W24: nominalization — N-tagged with a nominal suffix
+    nominal = F.lit(False)
+    for s in NOMINAL_SUFFIXES:
+        nominal = nominal | w.endswith(s)
+    out = out.withColumn("is_nominal", ((tag == "N") & nominal).cast("int"))
+
+    # W25: compound split (head = all but last 3 chars, sat = last 3)
+    is_comp = (tag == "N") & (F.length(w) >= COMPOUND_MIN_LEN)
+    out = (
+        out.withColumn("is_compound", is_comp.cast("int"))
+        .withColumn(
+            "comp_head",
+            F.when(is_comp, F.substr(w, F.lit(1), F.length(w) - COMPOUND_SAT_LEN)),
+        )
+        .withColumn("comp_head_len", F.when(is_comp, F.length(w) - COMPOUND_SAT_LEN))
+    )
+
+    # W26: personal reference = human noun or pronoun
+    out = out.withColumn(
+        "is_pers_ref", ((F.col("noun_sem") == "HUMAN") | (tag == "VNW")).cast("int")
+    )
+
+    # W4: synthetic CGN property decode
+    out = (
+        out.withColumn(
+            "verb_form",
+            F.when(tag == "WW", F.when(F.length(w) % 2 == 0, "pv").otherwise("inf")),
+        )
+        .withColumn(
+            "pron_person",
+            F.when(tag == "VNW", (F.length(w) % 3 + 1).cast("int")),
+        )
+        .withColumn(
+            "adj_pos",
+            F.when(
+                tag == "ADJ",
+                F.when(F.substring(w, 1, 1) <= "p", "prenom").otherwise("vrij"),
+            ),
+        )
+    )
+    return out
+
+
+def sql_annot_ext_cte() -> str:
+    """Oracle CTE for the extended battery (depends on `annot`)."""
+    morph = " OR ".join(f"word LIKE '{p}%'" for p in MORPH_NEG_PREFIXES)
+    nominal = " OR ".join(f"word LIKE '%{s}'" for s in NOMINAL_SUFFIXES)
+    return f"""
+annot_ext AS (
+    SELECT annot.*,
+           CASE WHEN {morph} THEN 1 ELSE 0 END AS is_morph_neg,
+           CASE WHEN tag IN ('N', 'ADJ') THEN
+                COALESCE({sql_case_map("lemma", NOUN_SEM)},
+                         {sql_case_map("word", NOUN_SEM)}) END AS noun_sem,
+           CASE WHEN tag = 'BW' THEN {sql_case_map("word", ADVERB_TYPES)} END
+               AS adverb_type,
+           CASE WHEN is_content = 1 AND (tag <> 'BW' OR
+                     (CASE WHEN tag = 'BW' THEN {sql_case_map("word", ADVERB_TYPES)} END)
+                     = 'MANNER')
+                THEN 1 ELSE 0 END AS is_content_strict,
+           CASE WHEN tag IN ('N', 'SPEC') THEN {sql_case_map("word", AFK_DOMAINS)} END
+               AS afk_domain,
+           CASE WHEN tag = 'N' AND ({nominal}) THEN 1 ELSE 0 END AS is_nominal,
+           CASE WHEN tag = 'N' AND length(word) >= {COMPOUND_MIN_LEN} THEN 1 ELSE 0 END
+               AS is_compound,
+           CASE WHEN tag = 'N' AND length(word) >= {COMPOUND_MIN_LEN}
+                THEN substring(word, 1, length(word) - {COMPOUND_SAT_LEN}) END
+               AS comp_head,
+           CASE WHEN tag = 'N' AND length(word) >= {COMPOUND_MIN_LEN}
+                THEN length(word) - {COMPOUND_SAT_LEN} END AS comp_head_len,
+           CASE WHEN (CASE WHEN tag IN ('N', 'ADJ') THEN
+                        COALESCE({sql_case_map("lemma", NOUN_SEM)},
+                                 {sql_case_map("word", NOUN_SEM)}) END) = 'HUMAN'
+                     OR tag = 'VNW' THEN 1 ELSE 0 END AS is_pers_ref,
+           CASE WHEN tag = 'WW' THEN
+                CASE WHEN length(word) % 2 = 0 THEN 'pv' ELSE 'inf' END END AS verb_form,
+           CASE WHEN tag = 'VNW' THEN CAST(length(word) % 3 + 1 AS INT) END
+               AS pron_person,
+           CASE WHEN tag = 'ADJ' THEN
+                CASE WHEN substring(word, 1, 1) <= 'p' THEN 'prenom' ELSE 'vrij' END END
+               AS adj_pos
+    FROM annot
+)"""

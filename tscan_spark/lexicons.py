@@ -35,16 +35,20 @@ def word_freq(documents: DataFrame) -> DataFrame:
     """
     tok = tokens_long(documents)
     counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wf_count"))
-    # corpus total as a 1-row broadcast (keeps everything one lazy DAG —
-    # no driver-side count action); the rank window runs on the
-    # vocabulary-sized aggregate, so the single partition is fine.
-    total = tok.agg(F.count(F.lit(1)).cast("double").alias("wf_total"))
+    # corpus total = sum over the vocabulary-sized aggregate — derived
+    # WITHOUT a second corpus scan (one parquet scan builds the whole
+    # lexicon); the rank/total windows run on ~|vocab| rows, so the
+    # single partition is fine. At production scale this entire function
+    # is a prebuilt snapshot table (see operators/asof.py).
     w = Window.orderBy(F.desc("wf_count"), F.asc("word"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    w_all = Window.partitionBy()
+    return counts.select(
         "word",
         "wf_count",
         F.row_number().over(w).alias("wf_rank"),
-        freq_log("wf_count", "wf_total").alias("wf_freq_log"),
+        freq_log("wf_count", F.sum("wf_count").over(w_all).cast("double")).alias(
+            "wf_freq_log"
+        ),
     )
 
 

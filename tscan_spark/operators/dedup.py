@@ -178,10 +178,12 @@ def _hash_params(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "j int, a long, b long")
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, j, minhash) via dense shingle ids + (a*sid+b) mod P."""
-    d = _docs(spark, sf_dir)
-    sh = shingles(d)
+    if sh is None:
+        sh = shingles(_docs(spark, sf_dir))
     sid = sh.select("shingle").distinct().select(
         "shingle",
         (F.dense_rank().over(Window.orderBy("shingle"))).cast("long").alias("sid"),
@@ -202,7 +204,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signature; every candidate is verified with the exact shingle
     Jaccard, so output quality does not depend on the sketch.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    # the shingle subtree feeds signatures, sizes and the verify join —
+    # persist it once (bench/queries clear the cache afterwards)
+    sh = shingles(_docs(spark, sf_dir)).persist()
+    sigs = minhash_signatures(spark, sf_dir, sh=sh)
     rows_per_band = NUM_HASHES // NUM_BANDS
     banded = sigs.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
     band_key = banded.groupBy("doc_id", "band").agg(
@@ -217,9 +222,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify via shingle sets
-    d = _docs(spark, sf_dir)
-    sh = shingles(d)
+    # exact verify via the same persisted shingle sets
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # exact path: count common shingles per candidate pair
     common = (

@@ -294,3 +294,19 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> mapInPandas decode -> typed feature struct
     (codec stubbed deterministically; plumbing and batch shape real)."""
     return multimodal.decode_features(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Extended T-Scan battery (W4/W7/W10-W16/W24-W26, D4/D8/D9)
+# ---------------------------------------------------------------------------
+
+from tscan_spark import pipeline_ext  # noqa: E402
+
+
+@query("tscan_doc_features_ext", oracle=pipeline_ext.sql_doc_features_ext())
+def q_doc_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended classifier battery at doc grain: semantic-type fan-out,
+    strict content + TTR, morph negation + multiNeg, nominalizations,
+    compounds, personal references, verb forms, abbreviations,
+    question count, LiNT-style readability with level bands."""
+    return pipeline_ext.doc_features_ext(spark, sf_dir)
