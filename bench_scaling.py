@@ -34,11 +34,11 @@ spark = (SparkSession.builder.master('local[{cpus}]')
          .config('spark.sql.shuffle.partitions','{max(cpus, 8)}')
          .config('spark.ui.enabled','false')
          .config('spark.ui.showConsoleProgress','false')
-         .config('spark.driver.memory','8g')
+         .config('spark.driver.memory','48g')
          # size input splits so the scan fans out past the core count at
          # BOTH legs (the replicated corpus is only ~0.5 GB; the default
          # 128 MB split would cap parallelism at ~4 tasks)
-         .config('spark.sql.files.maxPartitionBytes', str(4 * 1024 * 1024))
+         .config('spark.sql.files.maxPartitionBytes', str(32 * 1024 * 1024))
          .getOrCreate())
 spark.sparkContext.setLogLevel('ERROR')
 from tscan_spark.session import tune

@@ -114,3 +114,20 @@ def test_salted_aggregation_equivalence(spark):
     }
     salted = {(r.word,): r.cnt for r in skew.salted_count(tok, ["word"]).collect()}
     assert plain == salted
+
+
+REL_ORACLED = [
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_orders",
+    "rel_customers_without_orders",
+    "tscan_paragraph_features",
+    "tscan_metrics_long",
+    "tscan_doc_features_ext",
+]
+
+
+@pytest.mark.parametrize("name", REL_ORACLED)
+def test_relational_ops_match_oracle(spark, oracle, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES[name])

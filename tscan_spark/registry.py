@@ -310,3 +310,115 @@ def q_doc_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     compounds, personal references, verb forms, abbreviations,
     question count, LiNT-style readability with level bands."""
     return pipeline_ext.doc_features_ext(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Relational fundamentals over the star schema (§2.9 + broadcast joins)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import relational  # noqa: E402
+
+
+@query("rel_pricing_summary", oracle=relational.SQL_PRICING_SUMMARY)
+def q_rel_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+filter+agg+sort (fixed-point exact sums)."""
+    return relational.pricing_summary(spark, sf_dir)
+
+
+@query("rel_revenue_by_nation", oracle=relational.SQL_REVENUE_BY_NATION)
+def q_rel_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dimensions."""
+    return relational.revenue_by_nation(spark, sf_dir)
+
+
+@query("rel_top_orders", oracle=relational.SQL_TOP_ORDERS)
+def q_rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders (window top-k)."""
+    return relational.top_orders_per_customer(spark, sf_dir)
+
+
+@query("rel_customers_without_orders", oracle=relational.SQL_CUSTOMERS_WITHOUT_ORDERS)
+def q_rel_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join set difference."""
+    return relational.customers_without_orders(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph grain (A2) + long-format metrics sink (S8 analog)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tscan_paragraph_features",
+    oracle=pipeline.sql_sentence_features()
+    + """,
+parf AS (
+    SELECT doc_id, par_idx,
+           SUM(word_cnt) AS word_cnt,
+           SUM(content_cnt) AS content_cnt,
+           SUM(neg_cnt) AS neg_cnt,
+           SUM(char_sum) AS char_sum,
+           COUNT(*) AS sent_cnt
+    FROM sentf GROUP BY doc_id, par_idx
+)
+SELECT doc_id, par_idx,
+       CAST(word_cnt AS BIGINT) AS word_cnt,
+       CAST(content_cnt AS BIGINT) AS content_cnt,
+       CAST(neg_cnt AS BIGINT) AS neg_cnt,
+       CAST(char_sum AS BIGINT) AS char_sum,
+       CAST(sent_cnt AS BIGINT) AS sent_cnt,
+       ROUND(CASE WHEN sent_cnt <> 0 THEN word_cnt * 1.0 / sent_cnt END, 6)
+           AS wrd_per_zin
+FROM parf""",
+)
+def q_paragraph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 paragraph merge: sentence counters summed at (doc, par) grain
+    (parStats ctor src/tscan.cxx:3014-3035)."""
+    sent = pipeline.sentence_features(spark, sf_dir)
+    par = sent.groupBy("doc_id", "par_idx").agg(
+        F.sum("word_cnt").cast("long").alias("word_cnt"),
+        F.sum("content_cnt").cast("long").alias("content_cnt"),
+        F.sum("neg_cnt").cast("long").alias("neg_cnt"),
+        F.sum("char_sum").cast("long").alias("char_sum"),
+        F.count(F.lit(1)).cast("long").alias("sent_cnt"),
+    )
+    return par.withColumn(
+        "wrd_per_zin",
+        F.round(
+            F.when(F.col("sent_cnt") != 0, F.col("word_cnt") / F.col("sent_cnt")), 6
+        ),
+    )
+
+
+@query(
+    "tscan_metrics_long",
+    oracle="""
+SELECT doc_id, metric, value FROM (
+    SELECT doc_id,
+           unnest(['word_cnt','sent_cnt','wrd_per_zin','let_per_wrd','rarity'])
+               AS metric,
+           unnest([CAST(word_cnt AS DOUBLE), CAST(sent_cnt AS DOUBLE),
+                   wrd_per_zin, let_per_wrd, rarity]) AS value
+    FROM ("""
+    + pipeline.sql_doc_features()
+    + """) wide
+)""",
+)
+def q_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 analog: wide doc features -> long (doc_id, metric, value) sink
+    format (the reference's <metric> annotations, structstats.cxx:
+    1051-1368)."""
+    doc = pipeline.doc_features(spark, sf_dir)
+    pairs = [
+        ("word_cnt", F.col("word_cnt").cast("double")),
+        ("sent_cnt", F.col("sent_cnt").cast("double")),
+        ("wrd_per_zin", F.col("wrd_per_zin")),
+        ("let_per_wrd", F.col("let_per_wrd")),
+        ("rarity", F.col("rarity")),
+    ]
+    stack_expr = F.explode(
+        F.array(*[F.struct(F.lit(n).alias("metric"), c.alias("value")) for n, c in pairs])
+    ).alias("kv")
+    return doc.select("doc_id", stack_expr).select(
+        "doc_id", F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value")
+    )
