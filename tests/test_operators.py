@@ -65,11 +65,10 @@ def test_mtld_golden(spark, oracle):
 def test_mtld_known_values():
     from tscan_spark.operators import sequential
 
-    # all-unique stream: TTR never drops to threshold; remainder only
+    # all-unique stream: ttr stays 1.0 -> remainder 0 -> factor clamps
+    # to 1 (tscan.cxx:1849-1850) -> score = N
     toks = list("abcdefghij")
-    # fwd == bwd; factors = (1-1.0)/(1-θ)?  ttr stays 1.0 -> remainder 0
-    # -> factors 0 -> score 0 by the reference's convention
-    assert sequential.mtld(toks) == 0.0
+    assert sequential.mtld(toks) == 10.0
     # repeating one token: ttr drops below threshold at the 2nd token
     v = sequential.mtld(["a"] * 10)
     assert v > 0
@@ -129,5 +128,14 @@ REL_ORACLED = [
 
 @pytest.mark.parametrize("name", REL_ORACLED)
 def test_relational_ops_match_oracle(spark, oracle, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES[name])
+
+
+PARSE_ORACLED = ["parse_dep_distance", "parse_tree_depth", "surprisal_features"]
+
+
+@pytest.mark.parametrize("name", PARSE_ORACLED)
+def test_parse_surprisal_match_oracle(spark, oracle, name):
     df = QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES[name])

@@ -88,13 +88,31 @@ def asof_join(
     right_on: str,
     by: list[str],
     value_cols: list[str],
+    salt_k: int = 8,
 ) -> DataFrame:
     """Generic backward as-of join via cogrouped ``pd.merge_asof``.
 
     left[on] is matched to the greatest right[right_on] <= left[on]
     within equal `by` keys. Arrow-vectorized; each group is merged in
     O(n log n) (sort) + O(n+m).
+
+    Skew/parallelism: when the `by` key space is small or hot (a handful
+    of words covering most of the corpus), the cogroup is salted —
+    the left side gets ``salt = pmod(hash(row), salt_k)`` and the right
+    side is replicated across all salt values, so one hot key spreads
+    over ``salt_k`` Arrow groups with identical results.
     """
+    if salt_k and salt_k > 1:
+        left = left.withColumn(
+            "_salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_k))
+        )
+        salts = left.sparkSession.range(salt_k).select(
+            F.col("id").cast("int").alias("_salt")
+        )
+        right = right.crossJoin(F.broadcast(salts))
+        by = [*by, "_salt"]
+        out = asof_join(left, right, on, right_on, by, value_cols, salt_k=0)
+        return out.drop("_salt")
     from pyspark.sql.types import StructField
 
     # appended columns must be nullable: unmatched left rows carry NULLs

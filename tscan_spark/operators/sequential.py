@@ -69,7 +69,9 @@ def mtld_fold(tokens: list[str], threshold: float = MTLD_THRESHOLD) -> float:
     if token_cnt > 0:
         factors += (1.0 - ttr) / (1.0 - threshold)
     if factors == 0.0:
-        return 0.0
+        # reference quirk: zero factors clamp to 1, so an all-unique
+        # stream scores N (tscan.cxx:1849-1850), not 0
+        factors = 1.0
     return len(tokens) / factors
 
 
@@ -82,33 +84,120 @@ def mtld(tokens: list[str]) -> float:
     return (fwd + bwd) / 2.0
 
 
+MTLD_CONN_CLASSES = ["CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF", "OPSOMMEND_WG"]
+MTLD_SIT_CLASSES = ["TIME", "SPACE", "EMOTION", "CAUSE"]
+
+
 def doc_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MTLD over three token streams.
+    """Per-document MTLD over the reference's full stream battery
+    (calculate_MTLDs, src/tscan.cxx:1877-1975): words, lemmas, content,
+    strict content, names, one stream per connective class (word-based),
+    the combined connective stream excluding OPSOMMEND_WG, and one per
+    situation class (lemma-based) — 15 scores.
 
-    One shuffle on doc_id; the kernel receives each document's tokens as
-    one pandas group (Arrow batch), sorts by word_idx and folds.
+    The streams ship to Python as dense int ids (vocab/lemma ranks),
+    not strings: ~2x less Arrow volume and faster set folds. Arrays are
+    assembled JVM-side (sorted struct collects); the fold runs via
+    ``mapInPandas`` over whole Arrow batches of documents.
     """
-    tok = annotate.annotate(corpus.tokens_long(corpus.load(spark, sf_dir, "documents")))
-    slim = tok.select("doc_id", "word_idx", "l_word", "lemma", "is_content")
+    from collections.abc import Iterator
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("word_idx")
-        words = pdf["l_word"].tolist()
-        lemmas = pdf["lemma"].tolist()
-        content = pdf.loc[pdf["is_content"] == 1, "l_word"].tolist()
-        return pd.DataFrame(
-            {
-                "doc_id": [pdf["doc_id"].iloc[0]],
-                "mtld_words": [round(mtld(words), 6)],
-                "mtld_lemmas": [round(mtld(lemmas), 6)],
-                "mtld_content": [round(mtld(content), 6)],
-            }
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = annotate.annotate(corpus.tokens_long(documents))
+    tok = annotate.annotate_extended(tok)
+    v = corpus.vocab(documents)
+    from pyspark.sql import Window
+
+    lem_v = (
+        tok.select("lemma")
+        .distinct()
+        .select(
+            "lemma",
+            F.dense_rank().over(Window.orderBy("lemma")).cast("int").alias("lemma_id"),
         )
-
-    return slim.groupBy("doc_id").applyInPandas(
-        kernel,
-        schema="doc_id long, mtld_words double, mtld_lemmas double, mtld_content double",
     )
+    t = tok.join(F.broadcast(v), "word").join(F.broadcast(lem_v), "lemma")
+    # pack the boolean stream gates into one int (bit0 content, bit1
+    # strict, bit2 name-analog = HUMAN semantic type)
+    flags = (
+        F.col("is_content")
+        + F.col("is_content_strict") * 2
+        # null-safe: noun_sem is NULL for non-N/ADJ tags
+        + F.coalesce((F.col("noun_sem") == "HUMAN").cast("int"), F.lit(0)) * 4
+    )
+    conn_id = F.lit(-1)
+    for i, c in enumerate(MTLD_CONN_CLASSES):
+        conn_id = F.when(F.col("conn_type") == c, i).otherwise(conn_id)
+    sit_id = F.lit(-1)
+    for i, c in enumerate(MTLD_SIT_CLASSES):
+        sit_id = F.when(F.col("sit_type") == c, i).otherwise(sit_id)
+
+    def arr(col, name):
+        return F.transform(
+            F.sort_array(F.collect_list(F.struct("word_idx", col.alias("v")))),
+            lambda st: st["v"],
+        ).alias(name)
+
+    grouped = t.select(
+        "doc_id",
+        "word_idx",
+        F.col("token_id").cast("int").alias("tid"),
+        "lemma_id",
+        flags.cast("int").alias("flags"),
+        conn_id.cast("int").alias("conn_id"),
+        sit_id.cast("int").alias("sit_id"),
+    ).groupBy("doc_id").agg(
+        arr(F.col("tid"), "tids"),
+        arr(F.col("lemma_id"), "lids"),
+        arr(F.col("flags"), "flags"),
+        arr(F.col("conn_id"), "conn"),
+        arr(F.col("sit_id"), "sit"),
+    )
+
+    n_conn = len(MTLD_CONN_CLASSES)
+    n_sit = len(MTLD_SIT_CLASSES)
+    cols = (
+        ["mtld_words", "mtld_lemmas", "mtld_content", "mtld_content_strict", "mtld_names"]
+        + [f"mtld_conn_{c.lower()}" for c in MTLD_CONN_CLASSES]
+        + ["mtld_conn_all"]
+        + [f"mtld_sit_{c.lower()}" for c in MTLD_SIT_CLASSES]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            res = {c: [] for c in cols}
+            for tids, lids, fl, conn, sit in zip(
+                pdf["tids"], pdf["lids"], pdf["flags"], pdf["conn"], pdf["sit"]
+            ):
+                tids, lids = list(tids), list(lids)
+                res["mtld_words"].append(round(mtld(tids), 6))
+                res["mtld_lemmas"].append(round(mtld(lids), 6))
+                res["mtld_content"].append(
+                    round(mtld([t for t, f in zip(tids, fl) if f & 1]), 6)
+                )
+                res["mtld_content_strict"].append(
+                    round(mtld([t for t, f in zip(tids, fl) if f & 2]), 6)
+                )
+                res["mtld_names"].append(
+                    round(mtld([t for t, f in zip(tids, fl) if f & 4]), 6)
+                )
+                all_conn = []
+                for i, c in enumerate(MTLD_CONN_CLASSES):
+                    stream = [t for t, k in zip(tids, conn) if k == i]
+                    res[f"mtld_conn_{c.lower()}"].append(round(mtld(stream), 6))
+                    if c != "OPSOMMEND_WG":  # combined excludes reeks_wg
+                        all_conn.extend(stream)
+                res["mtld_conn_all"].append(round(mtld(all_conn), 6))
+                for i, c in enumerate(MTLD_SIT_CLASSES):
+                    res[f"mtld_sit_{c.lower()}"].append(
+                        round(mtld([t for t, k in zip(lids, sit) if k == i]), 6)
+                    )
+            out.update(res)
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"{c} double" for c in cols)
+    return grouped.mapInPandas(kernel, schema=schema)
 
 
 def greedy_match_counts(words: list[str], phrases: set[str], max_len: int = MAX_PHRASE) -> int:
@@ -133,26 +222,31 @@ def greedy_match_counts(words: list[str], phrases: set[str], max_len: int = MAX_
 def multiword_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-grain greedy multi-word match counts for each lexicon
     family, summed to (doc, sentence) rows."""
+    from collections.abc import Iterator
+
     tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
-    slim = tok.select(
-        "doc_id", "sent_idx", "word_idx", F.lower(F.col("word")).alias("l_word")
+    grouped = tok.groupBy("doc_id", "sent_idx").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("word_idx", F.lower(F.col("word")).alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("words")
     )
     fams = sorted(MW_LEXICONS)
     lexsets = {f: set(MW_LEXICONS[f]) for f in fams}
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("word_idx")
-        out_rows = []
-        for (doc_id, sent_idx), g in pdf.groupby(["doc_id", "sent_idx"], sort=True):
-            words = g["l_word"].tolist()
-            row = {"doc_id": doc_id, "sent_idx": sent_idx}
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "sent_idx": pdf["sent_idx"]}
             for f in fams:
-                row[f"{f}_cnt"] = greedy_match_counts(words, lexsets[f])
-            out_rows.append(row)
-        return pd.DataFrame(out_rows, columns=["doc_id", "sent_idx"] + [f"{f}_cnt" for f in fams])
+                out[f"{f}_cnt"] = [
+                    greedy_match_counts(list(w), lexsets[f]) for w in pdf["words"]
+                ]
+            yield pd.DataFrame(out)
 
     schema = "doc_id long, sent_idx int, " + ", ".join(f"{f}_cnt int" for f in fams)
-    return slim.groupBy("doc_id").applyInPandas(kernel, schema=schema)
+    return grouped.mapInPandas(kernel, schema=schema)
 
 
 def sql_multiword_matches() -> str:

@@ -422,3 +422,30 @@ def q_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", stack_expr).select(
         "doc_id", F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Parse-tree (§2.8) and surprisal (A10) operators
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import parse, surprisal  # noqa: E402
+
+
+@query("parse_dep_distance", oracle=parse.sql_dep_distance())
+def q_dep_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/A7: dependency distances over synthesized trees with the
+    doc-grain avg-of-avgs semantics (al_gem / al_max vs flat mean)."""
+    return parse.dep_distance(spark, sf_dir)
+
+
+@query("parse_tree_depth", oracle=parse.sql_tree_depth())
+def q_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-shaped iterative tree walk (parent-chain depth) as an Arrow
+    kernel; oracle is a recursive CTE replaying the walk."""
+    return parse.tree_depth(spark, sf_dir)
+
+
+@query("surprisal_features", oracle=surprisal.sql_surprisal_features())
+def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: sentence LM-aggregate norms -> doc avg-of-avgs."""
+    return surprisal.surprisal_features(spark, sf_dir)
