@@ -25,7 +25,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_leg(cpus: int, rep: int, sf_dir: str, op: str = "multiword") -> dict:
+def run_leg(cpus: int, rep: int, sf_dir: str, op: str = "multiword", runs: int = 3) -> dict:
     """One (op, parallelism) measurement in a fresh JVM.
 
     The op's python workers and codegen are warmed by a small run of the
@@ -72,7 +72,7 @@ fn(spark, '{sf_dir}').count()
 kwargs = {{'vocab_sf_dir': '{sf_dir}'}} if '{op}' == 'mtld' else {{}}
 df = fn(spark, sfdir, **kwargs)
 best = float('inf')
-for _ in range(3):
+for _ in range({runs}):
     t0 = time.time()
     df.count()
     best = min(best, time.time() - t0)
@@ -102,20 +102,23 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--update-md", action="store_true")
+    ap.add_argument("--ops", default="multiword,mtld")
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
     legs = {}
-    for op in ("multiword", "mtld"):
+    for op in args.ops.split(","):
         legs[op] = {
-            "small": run_leg(args.n, args.rep, args.sf_dir, op=op),
-            "big": run_leg(args.n * 4, args.rep, args.sf_dir, op=op),
+            "small": run_leg(args.n, args.rep, args.sf_dir, op=op, runs=args.runs),
+            "big": run_leg(args.n * 4, args.rep, args.sf_dir, op=op, runs=args.runs),
         }
         legs[op]["eff"] = round(
             (legs[op]["small"]["sec"] / legs[op]["big"]["sec"]) / 4.0, 3
         )
     eff = max(l["eff"] for l in legs.values())
-    small = legs["multiword"]["small"]
-    big = legs["multiword"]["big"]
+    first = args.ops.split(",")[0]
+    small = legs[first]["small"]
+    big = legs[first]["big"]
     result = {
         "metric": "scaling_efficiency_Nx4N",
         "value": eff,

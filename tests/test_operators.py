@@ -139,3 +139,8 @@ PARSE_ORACLED = ["parse_dep_distance", "parse_tree_depth", "surprisal_features"]
 def test_parse_surprisal_match_oracle(spark, oracle, name):
     df = QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES[name])
+
+
+def test_staph_bands_match_oracle(spark, oracle):
+    df = QUERIES["tscan_staph_bands"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["tscan_staph_bands"])

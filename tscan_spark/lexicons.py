@@ -81,3 +81,42 @@ wfreq_b AS (
            {band_cols}
     FROM wfreq
 )"""
+
+
+# W22 Staphorsius cumulative-frequency bands (staphFreqLookup,
+# src/tscan.cxx:1654-1667): a word is f50/f65/f77/f80 when its
+# cumulative corpus-frequency share (by rank) is within the band.
+STAPH_BANDS = [("f50", 50.0), ("f65", 65.0), ("f77", 77.0), ("f80", 80.0)]
+
+
+def with_staph_bands(wf: DataFrame) -> DataFrame:
+    """Add cumulative-share percentage + band flags to a word_freq dim."""
+    w = Window.orderBy("wf_rank").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    out = wf.withColumn(
+        "cum_pct",
+        F.sum("wf_count").over(w) * 100.0 / F.sum("wf_count").over(total),
+    )
+    for band, thr in STAPH_BANDS:
+        out = out.withColumn(f"is_{band}", (F.col("cum_pct") <= thr).cast("int"))
+    return out
+
+
+def sql_staph_cte() -> str:
+    """Depends on the wfreq CTE (sql_word_freq_cte)."""
+    band_cols = ",\n           ".join(
+        f"CASE WHEN cum_pct <= {thr} THEN 1 ELSE 0 END AS is_{band}"
+        for band, thr in STAPH_BANDS
+    )
+    return f"""
+staph AS (
+    SELECT *,
+           SUM(wf_count) OVER (ORDER BY wf_rank ROWS UNBOUNDED PRECEDING)
+               * 100.0 / SUM(wf_count) OVER () AS cum_pct
+    FROM wfreq
+),
+staph_b AS (
+    SELECT *,
+           {band_cols}
+    FROM staph
+)"""

@@ -449,3 +449,42 @@ def q_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: sentence LM-aggregate norms -> doc avg-of-avgs."""
     return surprisal.surprisal_features(spark, sf_dir)
+
+
+@query(
+    "tscan_staph_bands",
+    oracle=(
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + __import__("tscan_spark.lexicons", fromlist=["x"]).sql_word_freq_cte().strip()
+        + ",\n"
+        + __import__("tscan_spark.lexicons", fromlist=["x"]).sql_staph_cte().strip()
+        + """
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS word_cnt,
+       CAST(SUM(is_f50) AS BIGINT) AS f50_cnt,
+       CAST(SUM(is_f65) AS BIGINT) AS f65_cnt,
+       CAST(SUM(is_f77) AS BIGINT) AS f77_cnt,
+       CAST(SUM(is_f80) AS BIGINT) AS f80_cnt,
+       ROUND(SUM(is_f80) * 100.0 / COUNT(*), 6) AS f80_p
+FROM tok JOIN staph_b USING (word)
+GROUP BY doc_id"""
+    ),
+)
+def q_staph_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W22 Staphorsius cumulative-frequency band counts per document."""
+    from tscan_spark import lexicons
+
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = corpus.tokens_long(documents)
+    wf = lexicons.with_staph_bands(lexicons.word_freq(documents))
+    j = tok.join(F.broadcast(wf), "word")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("word_cnt"),
+        *[
+            F.sum(f"is_{band}").cast("long").alias(f"{band}_cnt")
+            for band, _ in lexicons.STAPH_BANDS
+        ],
+        F.round(F.sum("is_f80") * 100.0 / F.count(F.lit(1)), 6).alias("f80_p"),
+    )
