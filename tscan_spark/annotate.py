@@ -290,10 +290,13 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
     out = out.withColumn("adverb_type", F.when(tag == "BW", lexicon_map(ADVERB_TYPES, w)))
     out = out.withColumn(
         "is_content_strict",
-        (
-            (F.col("is_content") == 1)
-            & ((tag != "BW") | (F.col("adverb_type") == "MANNER"))
-        ).cast("int"),
+        F.coalesce(
+            (
+                (F.col("is_content") == 1)
+                & ((tag != "BW") | (F.col("adverb_type") == "MANNER"))
+            ).cast("int"),
+            F.lit(0),
+        ),
     )
 
     # W16: abbreviation domain (N/SPEC gate like checkAfk)
@@ -318,9 +321,14 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
         .withColumn("comp_head_len", F.when(is_comp, F.length(w) - COMPOUND_SAT_LEN))
     )
 
-    # W26: personal reference = human noun or pronoun
+    # W26: personal reference = human noun or pronoun (null-safe: a
+    # NULL noun_sem must yield 0, not NULL — an all-NULL doc would make
+    # the count aggregate NULL instead of 0)
     out = out.withColumn(
-        "is_pers_ref", ((F.col("noun_sem") == "HUMAN") | (tag == "VNW")).cast("int")
+        "is_pers_ref",
+        F.coalesce(
+            ((F.col("noun_sem") == "HUMAN") | (tag == "VNW")).cast("int"), F.lit(0)
+        ),
     )
 
     # W4: synthetic CGN property decode

@@ -488,3 +488,35 @@ def q_staph_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.round(F.sum("is_f80") * 100.0 / F.count(F.lit(1)), 6).alias("f80_p"),
     )
+
+
+@query(
+    "docs_tokenized_canonical",
+    oracle="""
+WITH """
+    + corpus.SQL_TOK_CTE.strip()
+    + """,
+v AS (
+    SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS INT) AS token_id
+    FROM (SELECT DISTINCT word FROM tok)
+)
+SELECT doc_id,
+       array_to_string(list(token_id ORDER BY word_idx), ',') AS tokens_str,
+       CAST(COUNT(*) AS INT) AS n_tok,
+       source
+FROM tok JOIN v USING (word)
+GROUP BY doc_id, source""",
+)
+def q_docs_tokenized_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar witness of the exact token arrays (comma-joined ids) —
+    fully hashable/sortable for value-level comparison of the
+    input_hint invariant."""
+    docs = corpus.docs_tokenized(corpus.load(spark, sf_dir, "documents"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string"))).alias(
+            "tokens_str"
+        ),
+        "n_tok",
+        "source",
+    )
