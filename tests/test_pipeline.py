@@ -43,3 +43,31 @@ def test_doc_features_ext_match_oracle(spark, oracle):
 
     df = pipeline_ext.doc_features_ext(spark, SF_DIR)
     assert_matches_oracle(df, oracle, pipeline_ext.sql_doc_features_ext())
+
+
+def test_vocab_content_hash_ids_unique(spark):
+    """Content-hash token ids must be collision-free over the corpus
+    vocabulary (the hash replaced the global dense_rank; MTLD/fingerprint
+    distinctness and token-array equality all ride on injectivity)."""
+    from pyspark.sql import functions as F
+
+    v = corpus.vocab(corpus.load(spark, SF_DIR, "documents"))
+    row = v.agg(
+        F.countDistinct("token_id").alias("ids"),
+        F.countDistinct("word").alias("words"),
+    ).first()
+    assert row.ids == row.words
+
+
+def test_docs_tokenized_scalar_witness_matches_array(spark):
+    """The registered scalar witness (comma-joined ids) carries exactly
+    the array invariant."""
+    from tscan_spark.registry import QUERIES
+
+    docs = corpus.docs_tokenized(corpus.load(spark, SF_DIR, "documents"))
+    arr = {r.doc_id: list(r.tokens) for r in docs.collect()}
+    scal = {
+        r.doc_id: [int(x) for x in r.tokens_str.split(",")]
+        for r in QUERIES["docs_tokenized"](spark, SF_DIR).collect()
+    }
+    assert arr == scal

@@ -19,17 +19,60 @@ Contract (shared with every ``oracle_sql`` entry):
 - word_idx  = 0-based position within the document
 - sent_idx  = word_idx // 10          (fixed sentence length)
 - par_idx   = sent_idx // 4           (fixed paragraph length)
-- token_id  = dense_rank of the word over the corpus vocabulary (1-based)
+- token_id  = polynomial content hash of the word (see ``token_id_expr``)
 - event_ts  = DATE '2024-01-01' + (doc_id % 90) days
+
+Token ids are **content-derived** (``hash(word)``), not dense ranks: a
+global ``dense_rank`` needs an unpartitioned window — a single-task sort
+over the vocabulary, a hard scale-killer once the keyed set approaches
+corpus cardinality (shingles, web vocabularies). The content hash is a
+pure per-row expression (scan-parallel, zero shuffle, zero broadcast)
+and is explicit integer arithmetic, so the DuckDB oracle replays it
+bit-for-bit. At production scale the modulus would be 64-bit (e.g.
+xxhash64); here it stays a 31-bit polynomial because the oracle must be
+able to replay every intermediate without BIGINT overflow (DuckDB
+*raises* on overflow rather than wrapping).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SENT_LEN = 10  # tokens per synthetic sentence
 PAR_LEN = 4  # sentences per synthetic paragraph
+
+# Content-hash parameters (shared by token ids, shingle ids, simhash).
+# All intermediates stay < 2^39: acc < 2^31, *131 + 127 — safe in signed
+# 64-bit on both engines (DuckDB BIGINT raises on overflow).
+HASH_BASE = 131
+HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def content_hash_expr(col: Column | str) -> Column:
+    """Deterministic polynomial hash of a string column.
+
+    ``h = fold(chars, (acc, c) -> (acc * 131 + ascii(c)) mod (2^31-1))``
+    — a per-row codegen expression; replaces the reference's global
+    vocabulary ranks without any global sort (the round-1 scale-killer).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+    )
+
+
+def sql_content_hash(col: str) -> str:
+    """The same hash as an ANSI/DuckDB expression (list_reduce fold)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({col}, ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
+    )
 
 TABLES = (
     "region",
@@ -75,19 +118,19 @@ def tokens_long(documents: DataFrame) -> DataFrame:
 
 
 def vocab(documents: DataFrame) -> DataFrame:
-    """Corpus vocabulary with dense-rank token ids (deterministic).
+    """Corpus vocabulary with content-hash token ids (deterministic).
 
     Mirrors the reference's lexicon keying by surface word; tiny by
-    construction (vocabulary << corpus), so always broadcastable.
+    construction (vocabulary << corpus), so always broadcastable. The id
+    is a per-row hash, not a rank — no global window, no single-task
+    sort (round-1 scale-killer removed); uniqueness over the synthetic
+    vocabulary is asserted in tests.
     """
-    from pyspark.sql import Window
-
-    w = Window.orderBy("word")
     return (
         tokens_long(documents)
         .select("word")
         .distinct()
-        .select(F.dense_rank().over(w).cast("int").alias("token_id"), "word")
+        .select(content_hash_expr("word").cast("int").alias("token_id"), "word")
     )
 
 
@@ -95,22 +138,20 @@ def docs_tokenized(documents: DataFrame) -> DataFrame:
     """documents -> the BASELINE.json input_hint shape.
 
     ``docs(doc_id string, tokens array<int32>, n_tok int32, source)``.
-    token ids come from the broadcast vocab join; ``sort_array`` over
-    (word_idx, token_id) structs keeps the array in document order
-    regardless of shuffle order — the per-row invariant vs the reference
-    is exact token-array equality.
+    token ids are content hashes computed inline — the whole query is a
+    narrow scan + one doc_id groupBy, with no vocabulary join at all;
+    ``sort_array`` over (word_idx, token_id) structs keeps the array in
+    document order regardless of shuffle order — the per-row invariant
+    vs the reference is exact token-array equality.
     """
-    tok = tokens_long(documents)
-    v = vocab(documents)
-    seq = (
-        tok.join(F.broadcast(v), "word")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("word_idx", "token_id"))),
-                lambda s: s["token_id"],
-            ).alias("tokens")
-        )
+    tok = tokens_long(documents).withColumn(
+        "token_id", content_hash_expr("word").cast("int")
+    )
+    seq = tok.groupBy("doc_id", "source").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("word_idx", "token_id"))),
+            lambda s: s["token_id"],
+        ).alias("tokens")
     )
     return seq.select(
         F.col("doc_id").cast("string").alias("doc_id"),

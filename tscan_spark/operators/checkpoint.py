@@ -60,6 +60,17 @@ def run_checkpointed(
     """
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     done = completed_buckets(out_dir)
+    if done:
+        # resume safety: bucket membership is pmod(hash(key), n_buckets);
+        # resuming with different parameters would silently skip or
+        # duplicate rows (completed bucket ids would still "match")
+        prior = job_lineage(out_dir)[0]
+        if prior.get("n_buckets") != n_buckets or prior.get("key_col") != key_col:
+            raise ValueError(
+                "checkpoint resume mismatch: prior run used "
+                f"n_buckets={prior.get('n_buckets')} key_col={prior.get('key_col')!r}, "
+                f"this call passed n_buckets={n_buckets} key_col={key_col!r}"
+            )
     bucket_col = F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
     metrics = {"buckets_run": 0, "buckets_skipped": len(done), "rows": 0}
     for b in range(n_buckets):

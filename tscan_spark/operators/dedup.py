@@ -6,19 +6,28 @@ needs before feature extraction, built Spark-first:
 
 - exact dedup        : md5(text) hash-groupBy (one shuffle on the hash,
                        perfectly parallel, no skew — hash keys uniform)
-- n-gram Jaccard     : shingle inverted-index self-join (classic
-                       candidate generation: pairs sharing a shingle),
-                       exact Jaccard verify; at scale the shingle join
-                       is the standard pruning structure (posting lists)
-- MinHash + LSH      : shingle -> dense id -> k universal-hash minima ->
-                       banded buckets -> candidate pairs -> exact verify.
-                       All arithmetic ((a*sid+b) mod P) so the DuckDB
-                       oracle replays it bit-for-bit (no engine-specific
-                       hash functions anywhere).
-- SimHash            : 16-bit signature over token-id multiplicative
-                       hashes; near-dup pairs via 4x4-bit band buckets
-                       (pigeonhole: hamming<=3 pairs share >=1 band),
-                       verified by xor/bit_count hamming distance.
+- n-gram Jaccard     : shingle inverted-index self-join with a
+                       **document-frequency cap** (posting lists of hot
+                       shingles are dropped from candidate generation —
+                       the standard pruning that stops one stop-word
+                       shingle from making the join quadratic), then
+                       exact Jaccard verification over the FULL shingle
+                       sets (the cap affects recall only, never the
+                       reported Jaccard value)
+- MinHash + LSH      : shingle -> content-hash id -> 16 universal-hash
+                       minima computed in ONE groupBy pass (16 aggregate
+                       columns — no crossJoin row blowup, no global id
+                       window) -> banded buckets -> candidates -> exact
+                       verify. All arithmetic ((a*sid+b) mod P) so the
+                       DuckDB oracle replays it bit-for-bit.
+- SimHash            : 60-bit signature (31+29-bit halves so every
+                       intermediate stays in signed-64 range on both
+                       engines); near-dup pairs via 4x15-bit band
+                       buckets (pigeonhole: hamming<=3 pairs share >=1
+                       band; 2^15 bucket values per band keeps candidate
+                       lists short at corpus scale — the round-1 16-bit
+                       /4-bit-band variant degenerated toward all-pairs),
+                       verified with exact xor/bit_count hamming.
 
 Determinism: every hash is explicit integer arithmetic; every float is
 fixed-point; every tie is broken by (doc_id_a, doc_id_b) ordering.
@@ -33,12 +42,19 @@ from tscan_spark import corpus
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.25
+SHINGLE_DF_CAP = 50  # posting-list prune: shingles in > cap docs are not candidates
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 NUM_HASHES = 16
 NUM_BANDS = 4  # 4 rows per band
-SIMHASH_BITS = 16
-SIMHASH_A = 40503
-SIMHASH_B = 1299721
+# 60-bit simhash: lo = (h31*A1+B1) mod 2^31, hi = (h31*A2+B2) mod 2^29
+SIMHASH_BITS = 60
+SIMHASH_LO_BITS = 31
+SIMHASH_A1 = 40503
+SIMHASH_B1 = 1299721
+SIMHASH_A2 = 69621
+SIMHASH_B2 = 823543
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15  # 60 / 4; 2^15 bucket values per band
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -103,26 +119,13 @@ sh AS (
 )"""
 
 
-# ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup pairs
-# ---------------------------------------------------------------------------
-
-
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact shingle-set Jaccard.
-
-    Candidate generation = inverted-index self-join on shingle (pairs
-    with zero overlap never meet — the scalable pruning); exact Jaccard
-    on the intersection counts.
-    """
-    d = _docs(spark, sf_dir)
-    sh = shingles(d).persist()
+def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs against the FULL shingle sets."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     j = (
@@ -132,15 +135,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n_sh", "n_b")
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        j.select(
-            "doc_a",
-            "doc_b",
-            F.col("n_common").cast("long").alias("n_common"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact shingle-set Jaccard.
+
+    Candidate generation = inverted-index self-join on shingle, with
+    posting lists longer than SHINGLE_DF_CAP dropped (a shingle shared
+    by k docs contributes k^2/2 candidate rows — uncapped, one frequent
+    shingle is quadratic at corpus scale). Verification uses the full
+    shingle sets, so every emitted Jaccard is exact.
+    """
+    d = _docs(spark, sf_dir)
+    sh = shingles(d).persist()
+    dfreq = Window.partitionBy("shingle")
+    idx = sh.withColumn("_df", F.count(F.lit(1)).over(dfreq)).where(
+        F.col("_df") <= SHINGLE_DF_CAP
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_jaccard(cand, sh).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def sql_ngram_jaccard() -> str:
@@ -150,12 +180,23 @@ def sql_ngram_jaccard() -> str:
         + ",\n"
         + SQL_SHINGLES_CTE.strip()
         + f""",
+idx AS (
+    SELECT doc_id, shingle
+    FROM (SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+    WHERE df <= {SHINGLE_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM idx a JOIN idx b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b USING (shingle)
-    WHERE a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    SELECT doc_a, doc_b, COUNT(*) AS n_common
+    FROM cand
+    JOIN sh a ON a.doc_id = doc_a
+    JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+    GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b,
        CAST(n_common AS BIGINT) AS n_common,
@@ -171,30 +212,31 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}"""
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-
-def _hash_params(spark: SparkSession) -> DataFrame:
-    """k universal-hash parameter rows (a_j, b_j) — tiny broadcast dim."""
-    rows = [(j, 1 + 7919 * j, 104729 * j + 12345) for j in range(NUM_HASHES)]
-    return spark.createDataFrame(rows, "j int, a long, b long")
+# universal-hash parameters (a_j, b_j) — compile-time constants folded
+# straight into the aggregate expressions (no parameter-table crossJoin)
+HASH_AB = [(1 + 7919 * j, 104729 * j + 12345) for j in range(NUM_HASHES)]
 
 
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, j, minhash) via dense shingle ids + (a*sid+b) mod P."""
+    """Wide signature row per doc: (doc_id, mh_0 .. mh_15).
+
+    Shingle ids are content hashes (per-row expression — the round-1
+    global dense_rank window is gone) and all 16 minima come out of ONE
+    hash aggregation over (doc_id) — 1x the shingle volume through the
+    shuffle instead of 16x.
+    """
     if sh is None:
         sh = shingles(_docs(spark, sf_dir))
-    sid = sh.select("shingle").distinct().select(
-        "shingle",
-        (F.dense_rank().over(Window.orderBy("shingle"))).cast("long").alias("sid"),
+    doc_sid = sh.select(
+        "doc_id", corpus.content_hash_expr("shingle").alias("sid")
     )
-    doc_sid = sh.join(F.broadcast(sid), "shingle").select("doc_id", "sid")
-    hp = _hash_params(spark)
-    return (
-        doc_sid.crossJoin(F.broadcast(hp))
-        .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("sid") + F.col("b")) % MINHASH_P).alias("mh"))
-    )
+    aggs = [
+        F.min((F.col("sid") * a + b) % MINHASH_P).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(HASH_AB)
+    ]
+    return doc_sid.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,78 +246,69 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signature; every candidate is verified with the exact shingle
     Jaccard, so output quality does not depend on the sketch.
     """
-    # the shingle subtree feeds signatures, sizes and the verify join —
+    # the shingle subtree feeds signatures and the verify join —
     # persist it once (bench/queries clear the cache afterwards)
     sh = shingles(_docs(spark, sf_dir)).persist()
     sigs = minhash_signatures(spark, sf_dir, sh=sh)
-    rows_per_band = NUM_HASHES // NUM_BANDS
-    banded = sigs.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-    band_key = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "j", "mh")))).alias(
-            "band_key"
-        )
+    rpb = NUM_HASHES // NUM_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{bnd * rpb + i}") for i in range(rpb)]
+                ).alias("band_key"),
+            )
+            for bnd in range(NUM_BANDS)
+        ]
     )
-    a, b = band_key.alias("a"), band_key.alias("b")
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify via the same persisted shingle sets
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # exact path: count common shingles per candidate pair
-    common = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    j = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("n_sh", "n_b")
-    )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return _verified_jaccard(cand, sh).drop("n_common")
 
 
 def sql_minhash_lsh_pairs() -> str:
-    rows_per_band = NUM_HASHES // NUM_BANDS
+    rpb = NUM_HASHES // NUM_BANDS
+    min_cols = ",\n           ".join(
+        f"MIN((sid * {a} + {b}) % {MINHASH_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(HASH_AB)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {bnd} AS band, {key} AS band_key FROM sigs".format(
+            bnd=bnd,
+            key=" || ',' || ".join(f"mh_{bnd * rpb + i}" for i in range(rpb)),
+        )
+        for bnd in range(NUM_BANDS)
+    )
     return (
         "WITH "
         + corpus.SQL_TOK_CTE.strip()
         + ",\n"
         + SQL_SHINGLES_CTE.strip()
         + f""",
-sid AS (
-    SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS sid
-    FROM (SELECT DISTINCT shingle FROM sh)
-),
-doc_sid AS (SELECT doc_id, sid FROM sh JOIN sid USING (shingle)),
-hp AS (
-    SELECT CAST(j AS INT) AS j, 1 + 7919 * j AS a, 104729 * j + 12345 AS b
-    FROM range({NUM_HASHES}) t(j)
+doc_sid AS (
+    SELECT doc_id, {corpus.sql_content_hash("shingle")} AS sid FROM sh
 ),
 sigs AS (
-    SELECT doc_id, j, MIN((a * sid + b) % {MINHASH_P}) AS mh
-    FROM doc_sid CROSS JOIN hp
-    GROUP BY doc_id, j
+    SELECT doc_id,
+           {min_cols}
+    FROM doc_sid
+    GROUP BY doc_id
 ),
-band_key AS (
-    SELECT doc_id, CAST(j // {rows_per_band} AS INT) AS band,
-           array_to_string(list(j || ':' || mh ORDER BY j || ':' || mh), ',')
-               AS band_key
-    FROM sigs
-    GROUP BY doc_id, CAST(j // {rows_per_band} AS INT)
+banded AS (
+{band_rows}
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band_key a JOIN band_key b USING (band, band_key)
+    FROM banded a JOIN banded b USING (band, band_key)
     WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -299,87 +332,106 @@ JOIN sizes sb ON sb.doc_id = doc_b"""
 # ---------------------------------------------------------------------------
 
 
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document over token-id multiplicative hashes.
+def _simhash_h_expr():
+    """60-bit per-token hash from the 31-bit content hash.
 
-    Dense token ids come from the corpus vocab; bit b of a token's hash
-    votes +count/-count; signature bit = majority (> 0).
+    lo/hi halves keep every multiply under 2^48 — both engines stay in
+    signed-64 arithmetic (DuckDB raises on BIGINT overflow, so the
+    bound is load-bearing, not cosmetic).
     """
-    d = _docs(spark, sf_dir)
-    tok = corpus.tokens_long(d)
-    v = corpus.vocab(d)
-    t = tok.join(F.broadcast(v), "word").groupBy("doc_id", "token_id").agg(
-        F.count(F.lit(1)).alias("cnt")
+    h31 = corpus.content_hash_expr("word")
+    lo = (h31 * SIMHASH_A1 + SIMHASH_B1) % (2**SIMHASH_LO_BITS)
+    hi = (h31 * SIMHASH_A2 + SIMHASH_B2) % (2 ** (SIMHASH_BITS - SIMHASH_LO_BITS))
+    return hi * (2**SIMHASH_LO_BITS) + lo
+
+
+def _sql_simhash_h() -> str:
+    h31 = corpus.sql_content_hash("word")
+    return (
+        f"(({h31}) * {SIMHASH_A2} + {SIMHASH_B2}) "
+        f"% {2 ** (SIMHASH_BITS - SIMHASH_LO_BITS)} * {2**SIMHASH_LO_BITS} "
+        f"+ (({h31}) * {SIMHASH_A1} + {SIMHASH_B1}) % {2**SIMHASH_LO_BITS}"
     )
-    h = (F.col("token_id") * SIMHASH_A + SIMHASH_B) % (2**SIMHASH_BITS)
-    t = t.withColumn("h", h.cast("long"))
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        t.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "vote",
-            # shift amount is a column -> SQL-expression form (the Python
-            # shiftright helper only takes literal counts)
-            F.when(
-                F.expr("(h >> bit) & 1") == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return votes.groupBy("doc_id").agg(
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document over token content hashes.
+
+    Bit b of a token's hash votes +1/-1 (term frequency weights fall out
+    of voting at token grain); signature bit = majority (> 0). One
+    groupBy(doc_id) computes all 60 bit-vote sums as aggregate columns —
+    no bit-table crossJoin, no row blowup: the plan is scan -> partial
+    agg -> final agg.
+    """
+    tok = corpus.tokens_long(_docs(spark, sf_dir))
+    t = tok.select("doc_id", _simhash_h_expr().alias("h"))
+    votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
             )
-        ).alias("simhash")
+        ).alias(f"s_{bit}")
+        for bit in range(SIMHASH_BITS)
+    ]
+    agg = t.groupBy("doc_id").agg(*votes)
+    sig = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{bit}") > 0, F.lit(1 << bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def _sql_simhash_ctes() -> str:
+    vote_cols = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{bit}"
+        for bit in range(SIMHASH_BITS)
     )
-
-
-_SIMHASH_CTES = (
-    corpus.SQL_TOK_CTE.strip()
-    + f""",
-v AS (
-    SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS token_id
-    FROM (SELECT DISTINCT word FROM tok)
-),
+    sig_terms = "\n             + ".join(
+        f"CASE WHEN s_{bit} > 0 THEN {1 << bit}::BIGINT ELSE 0::BIGINT END"
+        for bit in range(SIMHASH_BITS)
+    )
+    return (
+        corpus.SQL_TOK_CTE.strip()
+        + f""",
 t AS (
-    SELECT doc_id, token_id, COUNT(*) AS cnt,
-           (token_id * {SIMHASH_A} + {SIMHASH_B}) % {2**SIMHASH_BITS} AS h
-    FROM tok JOIN v USING (word)
-    GROUP BY doc_id, token_id
+    SELECT doc_id, {_sql_simhash_h()} AS h
+    FROM tok
 ),
 votes AS (
-    SELECT doc_id, CAST(b.bit AS INT) AS bit,
-           SUM(CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS s
-    FROM t CROSS JOIN range({SIMHASH_BITS}) b(bit)
-    GROUP BY doc_id, CAST(b.bit AS INT)
+    SELECT doc_id,
+           {vote_cols}
+    FROM t
+    GROUP BY doc_id
 ),
 shs AS (
     SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT)
-               AS simhash
+           CAST({sig_terms} AS BIGINT) AS simhash
     FROM votes
-    GROUP BY doc_id
 )"""
-)
+    )
 
 
 def sql_simhash_docs() -> str:
-    return "WITH " + _SIMHASH_CTES + "\nSELECT doc_id, simhash FROM shs"
+    return "WITH " + _sql_simhash_ctes() + "\nSELECT doc_id, simhash FROM shs"
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= SIMHASH_MAX_HAMMING.
 
-    Band trick: 4 bands of 4 bits; hamming<=3 pairs must agree on at
+    Band trick: 4 bands of 15 bits; hamming<=3 pairs must agree on at
     least one band (pigeonhole), so the self-join runs per band bucket —
-    never all-pairs. Verified with exact bit_count(xor).
+    never all-pairs, and with 2^15 values per band the buckets stay
+    small as the corpus grows. Verified with exact bit_count(xor).
     """
     sh = simhash_docs(spark, sf_dir)
-    bands = spark.range(NUM_BANDS).select(F.col("id").cast("int").alias("band"))
+    bands = spark.range(SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
     banded = sh.crossJoin(F.broadcast(bands)).withColumn(
-        "band_val", F.expr("(simhash >> (band * 4)) & 15")
+        "band_val",
+        F.expr(
+            f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -401,14 +453,15 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_simhash_pairs() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     return (
         "WITH "
-        + _SIMHASH_CTES
+        + _sql_simhash_ctes()
         + f""",
 banded AS (
     SELECT doc_id, simhash, CAST(b.band AS INT) AS band,
-           (simhash >> (CAST(b.band AS INT) * 4)) & 15 AS band_val
-    FROM shs CROSS JOIN range({NUM_BANDS}) b(band)
+           (simhash >> (CAST(b.band AS INT) * {SIMHASH_BAND_BITS})) & {mask} AS band_val
+    FROM shs CROSS JOIN range({SIMHASH_BANDS}) b(band)
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

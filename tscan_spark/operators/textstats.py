@@ -178,13 +178,16 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod P — exact int64 arithmetic, replayable anywhere, and any token
     reorder/edit changes it (used for fast exact-sequence identity at
     corpus scale; cheaper than comparing token arrays).
+
+    token_id is the per-row content hash (corpus.content_hash_expr) —
+    the whole plan is one narrow codegen scan + one doc_id hash-agg; no
+    vocabulary table, no broadcast, no global rank window.
     """
     d = corpus.load(spark, sf_dir, "documents")
     tok = corpus.tokens_long(d)
-    v = corpus.vocab(d)
-    t = tok.join(F.broadcast(v), "word")
+    t = tok.withColumn("token_id", corpus.content_hash_expr("word"))
     term = (
-        (F.col("token_id").cast("long") + 1)
+        (F.col("token_id") + 1)
         * ((F.col("word_idx").cast("long") + 1) * FP_MIX % FP_P)
         % FP_P
     )
@@ -199,14 +202,13 @@ def sql_fingerprint() -> str:
         "WITH "
         + corpus.SQL_TOK_CTE.strip()
         + f""",
-v AS (
-    SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS token_id
-    FROM (SELECT DISTINCT word FROM tok)
+tokid AS (
+    SELECT tok.*, {corpus.sql_content_hash("word")} AS token_id FROM tok
 )
 SELECT doc_id,
        CAST(SUM((token_id + 1) * ((CAST(word_idx AS BIGINT) + 1) * {FP_MIX} % {FP_P})
                 % {FP_P}) % {FP_P} AS BIGINT) AS fingerprint,
        COUNT(*) AS n_tok
-FROM tok JOIN v USING (word)
+FROM tokid
 GROUP BY doc_id"""
     )

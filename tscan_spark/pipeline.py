@@ -225,8 +225,11 @@ wordf AS (
 
 
 def sql_sentence_features() -> str:
+    # every SUM is CAST to BIGINT: DuckDB SUM(INTEGER) returns HUGEINT
+    # while Spark emits BIGINT — without the casts the driver's
+    # value-hash check fails on dtype skew (the round-1 red row)
     band_sums = ",\n           ".join(
-        f"SUM(is_{band}) AS {band}_cnt" for band, _ in lexicons.BANDS
+        f"CAST(SUM(is_{band}) AS BIGINT) AS {band}_cnt" for band, _ in lexicons.BANDS
     )
     return (
         _sql_prelude()
@@ -234,16 +237,20 @@ def sql_sentence_features() -> str:
 sentf AS (
     SELECT doc_id, par_idx, sent_idx,
            COUNT(*) AS word_cnt,
-           SUM(CASE WHEN is_content = 1 AND is_stop = 0 THEN 1 ELSE 0 END) AS content_cnt,
-           SUM(is_content) AS content_incl_cnt,
-           SUM(is_neg) AS neg_cnt,
-           SUM(is_stop) AS stop_cnt,
-           SUM(is_intens) AS intens_cnt,
-           SUM(is_formal) AS formal_cnt,
-           SUM(CASE WHEN conn_type IS NOT NULL THEN 1 ELSE 0 END) AS conn_cnt,
-           SUM(CASE WHEN sit_type IS NOT NULL THEN 1 ELSE 0 END) AS sit_cnt,
-           SUM(char_cnt) AS char_sum,
-           SUM(CAST(ROUND(content_freq_log * 1000000, 0) AS BIGINT)) AS wfl_fp,
+           CAST(SUM(CASE WHEN is_content = 1 AND is_stop = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS content_cnt,
+           CAST(SUM(is_content) AS BIGINT) AS content_incl_cnt,
+           CAST(SUM(is_neg) AS BIGINT) AS neg_cnt,
+           CAST(SUM(is_stop) AS BIGINT) AS stop_cnt,
+           CAST(SUM(is_intens) AS BIGINT) AS intens_cnt,
+           CAST(SUM(is_formal) AS BIGINT) AS formal_cnt,
+           CAST(SUM(CASE WHEN conn_type IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS conn_cnt,
+           CAST(SUM(CASE WHEN sit_type IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS sit_cnt,
+           CAST(SUM(char_cnt) AS BIGINT) AS char_sum,
+           CAST(SUM(CAST(ROUND(content_freq_log * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS wfl_fp,
            {band_sums}
     FROM wordf
     GROUP BY doc_id, par_idx, sent_idx

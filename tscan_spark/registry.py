@@ -96,21 +96,36 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH """
     + corpus.SQL_TOK_CTE.strip()
-    + """,
-v AS (
-    SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS INT) AS token_id
-    FROM (SELECT DISTINCT word FROM tok)
+    + f""",
+tokid AS (
+    SELECT tok.*, CAST({corpus.sql_content_hash("word")} AS INT) AS token_id
+    FROM tok
 )
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-       list(token_id ORDER BY word_idx) AS tokens,
+       array_to_string(list(token_id ORDER BY word_idx), ',') AS tokens_str,
        CAST(COUNT(*) AS INT) AS n_tok,
        source
-FROM tok JOIN v USING (word)
+FROM tokid
 GROUP BY doc_id, source""",
 )
 def q_docs_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BASELINE.json input_hint shape (exact token-array equality)."""
-    return corpus.docs_tokenized(corpus.load(spark, sf_dir, "documents"))
+    """The BASELINE.json input_hint invariant (exact token arrays).
+
+    The registered witness emits the arrays comma-joined — the driver's
+    canonicalizer sorts columns before hashing and cannot sort numpy
+    array cells (the round-1 red row); the scalar form carries the same
+    exact-equality information. The array-shaped API is
+    :func:`tscan_spark.corpus.docs_tokenized` (exercised by entry/tests).
+    """
+    docs = corpus.docs_tokenized(corpus.load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string"))).alias(
+            "tokens_str"
+        ),
+        "n_tok",
+        "source",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -198,9 +213,11 @@ def q_multiword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequential.multiword_matches(spark, sf_dir)
 
 
-@query("doc_mtld")  # order-sensitive fold: no SQL oracle (rows-only check)
+@query("doc_mtld", oracle=sequential.sql_doc_mtld())
 def q_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 MTLD (bidirectional, threshold 0.720) over 3 token streams."""
+    """A5 MTLD (bidirectional, threshold 0.720) over the full 15-stream
+    battery; the oracle is a recursive CTE replaying the exact
+    reset-on-threshold fold in both directions."""
     return sequential.doc_mtld(spark, sf_dir)
 
 
@@ -490,33 +507,3 @@ def q_staph_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_tokenized_canonical",
-    oracle="""
-WITH """
-    + corpus.SQL_TOK_CTE.strip()
-    + """,
-v AS (
-    SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS INT) AS token_id
-    FROM (SELECT DISTINCT word FROM tok)
-)
-SELECT doc_id,
-       array_to_string(list(token_id ORDER BY word_idx), ',') AS tokens_str,
-       CAST(COUNT(*) AS INT) AS n_tok,
-       source
-FROM tok JOIN v USING (word)
-GROUP BY doc_id, source""",
-)
-def q_docs_tokenized_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar witness of the exact token arrays (comma-joined ids) —
-    fully hashable/sortable for value-level comparison of the
-    input_hint invariant."""
-    docs = corpus.docs_tokenized(corpus.load(spark, sf_dir, "documents"))
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string"))).alias(
-            "tokens_str"
-        ),
-        "n_tok",
-        "source",
-    )
