@@ -58,7 +58,8 @@ def test_mtld_golden(spark, oracle):
     assert len(got) == len(rows)
     for doc_id, ws in rows:
         ws = [w for w in ws if w]
-        exp = round(sequential.mtld([w.lower() for w in ws]), 6)
+        # half-up 6dp, same as the kernel and both engines' ROUND
+        exp = sequential._round6(sequential.mtld([w.lower() for w in ws]))
         assert got[doc_id].mtld_words == exp, (doc_id, got[doc_id].mtld_words, exp)
 
 
