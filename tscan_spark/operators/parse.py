@@ -170,6 +170,468 @@ def tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# P2-P8 battery over synthesized node attributes
+# ---------------------------------------------------------------------------
+#
+# The reference evaluates these by XPath over Alpino trees; here every
+# node carries deterministic (rel, cat) attributes derived from the
+# token (same single-source-of-truth trick as the synthetic Frog), and
+# each operator is the Spark-native form of the corresponding XPath
+# count:
+#
+#   rel(i):  'root' for i=0; 'predm' when i%7==0; else by i%5:
+#            1->'mod', 2->'su', 3->'obj1', 4->'cnj', 0->'vc'
+#   cat(i):  WW -> smain/ssub/sv1 by i%3; VG -> 'conj'; N -> 'np';
+#            ADJ -> 'rel'/'cp' by i%2; else 'other'
+#
+# Counts (reference analogs):
+#   P5 resolveFiniteVerbs  (sentstats.cxx:684-691): smain/ssub/sv1 by cat
+#   P6 resolveConjunctions (sentstats.cxx:698-703): rel='cnj' x clause cat
+#   P7 resolveSmallConjunctions (sentstats.cxx:706-716): cnj, non-clause cat
+#   P3 resolveAdverbials   (tscan.cxx:2998-3012): mod|predm under clause cat
+#   P4 resolveRelativeClauses (sentstats.cxx:544-677): rel/cp clauses by
+#      parent rel (betr/bijw/compl + loose variants)
+#   P8 mod_stats           (Alpino.cxx:987-996): mod/det under np
+#   P2 get_d_level         (Alpino.cxx:728-954): 7..0 cascade
+#   D7 correctedClauseCnt  (sentstats.cxx:690, structstats.cxx:1549):
+#      max(clauseCnt,1) at sentence grain, SUMMED at doc grain
+#   dLevel -1 = parse missing, excluded from doc means
+#      (structstats.cxx:1620-1625): synthetic rule = sentences with
+#      fewer than MIN_PARSE_TOKENS tokens
+
+CLAUSE_CATS = ["smain", "ssub", "sv1"]
+MIN_PARSE_TOKENS = 3  # below this the synthetic "parse" is missing
+
+
+def _rel_expr() -> F.Column:
+    i = F.col("tok_i")
+    return (
+        F.when(i == 0, "root")
+        .when(i % 7 == 0, "predm")
+        .when(i % 5 == 1, "mod")
+        .when(i % 5 == 2, "su")
+        .when(i % 5 == 3, "obj1")
+        .when(i % 5 == 4, "cnj")
+        .otherwise("vc")
+    )
+
+
+def _cat_expr() -> F.Column:
+    i, tag = F.col("tok_i"), F.col("tag")
+    return (
+        F.when(tag == "WW", F.when(i % 3 == 0, "smain").when(i % 3 == 1, "ssub").otherwise("sv1"))
+        .when(tag == "VG", "conj")
+        .when(tag == "N", "np")
+        .when(tag == "ADJ", F.when(i % 2 == 0, "rel").otherwise("cp"))
+        .otherwise("other")
+    )
+
+
+SQL_REL = """CASE WHEN tok_i = 0 THEN 'root'
+         WHEN tok_i % 7 = 0 THEN 'predm'
+         WHEN tok_i % 5 = 1 THEN 'mod'
+         WHEN tok_i % 5 = 2 THEN 'su'
+         WHEN tok_i % 5 = 3 THEN 'obj1'
+         WHEN tok_i % 5 = 4 THEN 'cnj'
+         ELSE 'vc' END"""
+
+SQL_CAT = """CASE WHEN tag = 'WW' THEN
+              CASE WHEN tok_i % 3 = 0 THEN 'smain'
+                   WHEN tok_i % 3 = 1 THEN 'ssub' ELSE 'sv1' END
+         WHEN tag = 'VG' THEN 'conj'
+         WHEN tag = 'N' THEN 'np'
+         WHEN tag = 'ADJ' THEN
+              CASE WHEN tok_i % 2 = 0 THEN 'rel' ELSE 'cp' END
+         ELSE 'other' END"""
+
+
+def parse_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized per-sentence node table (FIXTURES.md §3 shape,
+    flattened): (doc_id, sent_idx, tok_i, parent, tag, rel, cat)."""
+    from tscan_spark import annotate
+
+    tok = _with_parent(_sent_tokens(spark, sf_dir))
+    tok = tok.withColumn("tag", annotate.tag_expr(F.col("word")))
+    return tok.select(
+        "doc_id",
+        "sent_idx",
+        "tok_i",
+        "parent",
+        "word",
+        "tag",
+        _rel_expr().alias("rel"),
+        _cat_expr().alias("cat"),
+    )
+
+
+SQL_NODES_CTE = f"""
+nodes AS (
+    SELECT doc_id, sent_idx, tok_i, parent, word, tag,
+           {SQL_REL} AS rel,
+           {SQL_CAT} AS cat
+    FROM (
+        SELECT stok.*, {{sql_tag}} AS tag FROM stok
+    )
+)"""
+
+
+def _sql_nodes() -> str:
+    from tscan_spark import annotate
+
+    return SQL_NODES_CTE.format(sql_tag=annotate.sql_tag("word")).strip()
+
+
+def clause_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P8 + P2 sentence battery as ONE aggregation over the
+    parent-joined node table.
+
+    The parent attributes come from a single self-equi-join keyed by
+    (doc_id, sent_idx, parent) — co-partitioned with the node table, so
+    at scale this is one shuffle on the sentence key (bounded groups:
+    sentence length), then every count is an indicator sum in the same
+    partial+final hash aggregate. No UDFs anywhere.
+    """
+    nodes = parse_nodes(spark, sf_dir)
+    par = nodes.select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("sent_idx").alias("p_sent"),
+        F.col("tok_i").alias("p_tok"),
+        F.col("rel").alias("p_rel"),
+        F.col("cat").alias("p_cat"),
+    )
+    j = nodes.join(
+        par,
+        (F.col("doc_id") == F.col("p_doc"))
+        & (F.col("sent_idx") == F.col("p_sent"))
+        & (F.col("parent") == F.col("p_tok"))
+        & (F.col("tok_i") > 0),  # the root has no parent
+        "left",
+    )
+    is_clause = F.col("cat").isin(CLAUSE_CATS)
+    p_clause = F.col("p_cat").isin(CLAUSE_CATS)
+    # when/otherwise, NOT cond.cast(int): conditions over the root's
+    # NULL parent attributes must count 0 like the oracle's CASE WHEN
+    # (a single-token sentence would otherwise sum to NULL)
+    cnt = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+    sent = j.groupBy("doc_id", "sent_idx").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        cnt(F.col("cat") == "smain", "smain_cnt"),
+        cnt(F.col("cat") == "ssub", "ssub_cnt"),
+        cnt(F.col("cat") == "sv1", "sv1_cnt"),
+        cnt((F.col("rel") == "cnj") & (F.col("cat") == "smain"), "cnj_smain_cnt"),
+        cnt((F.col("rel") == "cnj") & (F.col("cat") == "ssub"), "cnj_ssub_cnt"),
+        cnt((F.col("rel") == "cnj") & (F.col("cat") == "sv1"), "cnj_sv1_cnt"),
+        cnt((F.col("rel") == "cnj") & ~is_clause, "small_cnj_cnt"),
+        cnt(F.col("rel").isin("mod", "predm") & p_clause, "adverbial_cnt"),
+        cnt((F.col("cat") == "rel") & (F.col("rel") == "mod"), "betr_cnt"),
+        cnt((F.col("cat") == "cp") & p_clause, "bijw_cnt"),
+        cnt((F.col("cat") == "cp") & (F.col("rel") == "vc"), "compl_cnt"),
+        cnt((F.col("cat") == "rel") & (F.col("p_rel") == "root"), "los_betr_cnt"),
+        cnt(F.col("cat") == "np", "np_cnt"),
+        cnt((F.col("rel") == "mod") & (F.col("p_cat") == "np"), "np_mod_cnt"),
+        # D-level cascade inputs
+        cnt(is_clause & (F.col("rel") != "cnj"), "_fin_noncoord"),
+        cnt((F.col("cat") == "rel") & (F.col("p_rel") == "su"), "_rel_on_su"),
+        cnt((F.col("tag") == "VG") & (F.col("tok_i") % 2 == 1), "_subord"),
+        cnt((F.col("rel") == "su") & (F.col("p_rel") == "vc"), "_vc_own_su"),
+        cnt((F.col("cat") == "rel") & (F.col("p_rel") == "obj1"), "_rel_on_obj"),
+        cnt(F.col("rel") == "cnj", "_coord"),
+        cnt((F.col("tag") == "WW") & (F.length("word") % 2 == 1), "_inf"),
+    )
+    clause_cnt = F.col("smain_cnt") + F.col("ssub_cnt") + F.col("sv1_cnt")
+    d_level = (
+        F.when(F.col("n_nodes") < MIN_PARSE_TOKENS, -1)  # parse missing
+        .when(F.col("_fin_noncoord") > 2, 7)
+        .when(F.col("_rel_on_su") > 0, 6)
+        .when(F.col("_subord") > 0, 5)
+        .when(F.col("_vc_own_su") > 0, 4)
+        .when(F.col("_rel_on_obj") > 0, 3)
+        .when(F.col("_coord") > 0, 2)
+        .when(F.col("_inf") > 0, 1)
+        .otherwise(0)
+    )
+    keep = [
+        "n_nodes",
+        "smain_cnt",
+        "ssub_cnt",
+        "sv1_cnt",
+        "cnj_smain_cnt",
+        "cnj_ssub_cnt",
+        "cnj_sv1_cnt",
+        "small_cnj_cnt",
+        "adverbial_cnt",
+        "betr_cnt",
+        "bijw_cnt",
+        "compl_cnt",
+        "los_betr_cnt",
+        "np_cnt",
+        "np_mod_cnt",
+    ]
+    return sent.select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        *[F.col(c).cast("int").alias(c) for c in keep],
+        clause_cnt.cast("int").alias("clause_cnt"),
+        F.greatest(clause_cnt, F.lit(1)).cast("int").alias("corrected_clause_cnt"),
+        d_level.cast("int").alias("d_level"),
+    )
+
+
+def _sql_clause_sent() -> str:
+    """Shared oracle CTE chain ending in a `sentp` sentence battery."""
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + SQL_SENT_TOK_CTE.strip()
+        + ",\n"
+        + _sql_nodes()
+        + f""",
+j AS (
+    SELECT n.*, p.rel AS p_rel, p.cat AS p_cat
+    FROM nodes n
+    LEFT JOIN nodes p
+      ON p.doc_id = n.doc_id AND p.sent_idx = n.sent_idx
+     AND p.tok_i = n.parent AND n.tok_i > 0
+),
+sentp AS (
+    SELECT doc_id, sent_idx,
+           COUNT(*) AS n_nodes,
+           SUM(CASE WHEN cat = 'smain' THEN 1 ELSE 0 END) AS smain_cnt,
+           SUM(CASE WHEN cat = 'ssub' THEN 1 ELSE 0 END) AS ssub_cnt,
+           SUM(CASE WHEN cat = 'sv1' THEN 1 ELSE 0 END) AS sv1_cnt,
+           SUM(CASE WHEN rel = 'cnj' AND cat = 'smain' THEN 1 ELSE 0 END) AS cnj_smain_cnt,
+           SUM(CASE WHEN rel = 'cnj' AND cat = 'ssub' THEN 1 ELSE 0 END) AS cnj_ssub_cnt,
+           SUM(CASE WHEN rel = 'cnj' AND cat = 'sv1' THEN 1 ELSE 0 END) AS cnj_sv1_cnt,
+           SUM(CASE WHEN rel = 'cnj' AND cat NOT IN ('smain','ssub','sv1')
+                    THEN 1 ELSE 0 END) AS small_cnj_cnt,
+           SUM(CASE WHEN rel IN ('mod','predm')
+                     AND p_cat IN ('smain','ssub','sv1') THEN 1 ELSE 0 END)
+               AS adverbial_cnt,
+           SUM(CASE WHEN cat = 'rel' AND rel = 'mod' THEN 1 ELSE 0 END) AS betr_cnt,
+           SUM(CASE WHEN cat = 'cp' AND p_cat IN ('smain','ssub','sv1')
+                    THEN 1 ELSE 0 END) AS bijw_cnt,
+           SUM(CASE WHEN cat = 'cp' AND rel = 'vc' THEN 1 ELSE 0 END) AS compl_cnt,
+           SUM(CASE WHEN cat = 'rel' AND p_rel = 'root' THEN 1 ELSE 0 END)
+               AS los_betr_cnt,
+           SUM(CASE WHEN cat = 'np' THEN 1 ELSE 0 END) AS np_cnt,
+           SUM(CASE WHEN rel = 'mod' AND p_cat = 'np' THEN 1 ELSE 0 END) AS np_mod_cnt,
+           SUM(CASE WHEN cat IN ('smain','ssub','sv1') AND rel <> 'cnj'
+                    THEN 1 ELSE 0 END) AS fin_noncoord,
+           SUM(CASE WHEN cat = 'rel' AND p_rel = 'su' THEN 1 ELSE 0 END) AS rel_on_su,
+           SUM(CASE WHEN tag = 'VG' AND tok_i % 2 = 1 THEN 1 ELSE 0 END) AS subord,
+           SUM(CASE WHEN rel = 'su' AND p_rel = 'vc' THEN 1 ELSE 0 END) AS vc_own_su,
+           SUM(CASE WHEN cat = 'rel' AND p_rel = 'obj1' THEN 1 ELSE 0 END) AS rel_on_obj,
+           SUM(CASE WHEN rel = 'cnj' THEN 1 ELSE 0 END) AS coord,
+           SUM(CASE WHEN tag = 'WW' AND length(word) % 2 = 1 THEN 1 ELSE 0 END) AS inf
+    FROM j
+    GROUP BY doc_id, sent_idx
+),
+sentd AS (
+    SELECT *,
+           smain_cnt + ssub_cnt + sv1_cnt AS clause_cnt,
+           GREATEST(smain_cnt + ssub_cnt + sv1_cnt, 1) AS corrected_clause_cnt,
+           CASE WHEN n_nodes < {MIN_PARSE_TOKENS} THEN -1
+                WHEN fin_noncoord > 2 THEN 7
+                WHEN rel_on_su > 0 THEN 6
+                WHEN subord > 0 THEN 5
+                WHEN vc_own_su > 0 THEN 4
+                WHEN rel_on_obj > 0 THEN 3
+                WHEN coord > 0 THEN 2
+                WHEN inf > 0 THEN 1
+                ELSE 0 END AS d_level
+    FROM sentp
+)"""
+    )
+
+
+_CLAUSE_KEEP = [
+    "n_nodes",
+    "smain_cnt",
+    "ssub_cnt",
+    "sv1_cnt",
+    "cnj_smain_cnt",
+    "cnj_ssub_cnt",
+    "cnj_sv1_cnt",
+    "small_cnj_cnt",
+    "adverbial_cnt",
+    "betr_cnt",
+    "bijw_cnt",
+    "compl_cnt",
+    "los_betr_cnt",
+    "np_cnt",
+    "np_mod_cnt",
+    "clause_cnt",
+    "corrected_clause_cnt",
+    "d_level",
+]
+
+
+def sql_clause_counts() -> str:
+    cols = ",\n       ".join(f"CAST({c} AS INT) AS {c}" for c in _CLAUSE_KEEP)
+    return (
+        _sql_clause_sent()
+        + f"""
+SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+       {cols}
+FROM sentd"""
+    )
+
+
+def doc_parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain parse summary with the reference merge quirks:
+
+    - corrected_clause_cnt is SUMMED over sentences (each clamped to
+      >= 1 at sentence grain — NOT re-clamped at doc grain, D7);
+    - d_level -1 (missing parse) is excluded from the doc mean and
+      counted as parse_fail_cnt (structstats.cxx:1620-1625, 336-370);
+    - clause density per 1000 nodes (density() semantics).
+    """
+    sent = clause_counts(spark, sf_dir)
+    ok = F.col("d_level") >= 0
+    doc = sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sent_cnt"),
+        F.sum("clause_cnt").cast("long").alias("clause_cnt"),
+        F.sum("corrected_clause_cnt").cast("long").alias("corrected_clause_cnt"),
+        F.sum((~ok).cast("int")).cast("long").alias("parse_fail_cnt"),
+        F.sum(F.when(ok, F.col("d_level"))).cast("long").alias("_dsum"),
+        F.sum(ok.cast("int")).alias("_dcnt"),
+        F.sum("n_nodes").cast("long").alias("node_cnt"),
+        F.sum("betr_cnt").cast("long").alias("betr_cnt"),
+        F.sum("bijw_cnt").cast("long").alias("bijw_cnt"),
+        F.sum("compl_cnt").cast("long").alias("compl_cnt"),
+    )
+    return doc.select(
+        "doc_id",
+        "sent_cnt",
+        "clause_cnt",
+        "corrected_clause_cnt",
+        "parse_fail_cnt",
+        "node_cnt",
+        "betr_cnt",
+        "bijw_cnt",
+        "compl_cnt",
+        F.round(
+            F.when(F.col("_dcnt") > 0, F.col("_dsum") / F.col("_dcnt")), 6
+        ).alias("d_level_avg"),
+        F.round(F.col("clause_cnt") * 1000.0 / F.col("node_cnt"), 6).alias(
+            "clause_d"
+        ),
+    )
+
+
+def sql_doc_parse_summary() -> str:
+    return (
+        _sql_clause_sent()
+        + """
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS sent_cnt,
+       CAST(SUM(clause_cnt) AS BIGINT) AS clause_cnt,
+       CAST(SUM(corrected_clause_cnt) AS BIGINT) AS corrected_clause_cnt,
+       CAST(SUM(CASE WHEN d_level < 0 THEN 1 ELSE 0 END) AS BIGINT) AS parse_fail_cnt,
+       CAST(SUM(n_nodes) AS BIGINT) AS node_cnt,
+       CAST(SUM(betr_cnt) AS BIGINT) AS betr_cnt,
+       CAST(SUM(bijw_cnt) AS BIGINT) AS bijw_cnt,
+       CAST(SUM(compl_cnt) AS BIGINT) AS compl_cnt,
+       ROUND(CASE WHEN SUM(CASE WHEN d_level >= 0 THEN 1 ELSE 0 END) > 0
+                  THEN SUM(CASE WHEN d_level >= 0 THEN d_level ELSE 0 END) * 1.0
+                       / SUM(CASE WHEN d_level >= 0 THEN 1 ELSE 0 END) END, 6)
+           AS d_level_avg,
+       ROUND(SUM(clause_cnt) * 1000.0 / SUM(n_nodes), 6) AS clause_d
+FROM sentd
+GROUP BY doc_id"""
+    )
+
+
+def embedded_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 embedding analog (mvInbedCnt): clause-cat nodes that sit
+    inside another clause — an ancestor walk per node, run as an Arrow
+    kernel over sentence node arrays (the genuinely sequential part of
+    the battery; everything countable without a walk stays in
+    clause_counts as plain aggregates).
+
+    Output: (doc_id, sent_idx, embed_cnt, max_clause_depth).
+    """
+    nodes = parse_nodes(spark, sf_dir)
+    grouped = nodes.groupBy("doc_id", "sent_idx").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "tok_i",
+                    F.col("parent").alias("p"),
+                    F.col("cat").isin(CLAUSE_CATS).cast("int").alias("c"),
+                )
+            )
+        ).alias("ns")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            emb, mdep = [], []
+            for ns in pdf["ns"]:
+                parents = [int(n["p"]) for n in ns]
+                clause = [int(n["c"]) for n in ns]
+                # clause-nesting depth per node: #clause ancestors
+                # (parent(i) < i, so one forward pass suffices)
+                cdep = [0] * len(parents)
+                for i in range(1, len(parents)):
+                    cdep[i] = cdep[parents[i]] + clause[parents[i]]
+                emb.append(sum(1 for i in range(len(parents)) if clause[i] and cdep[i] > 0))
+                mdep.append(max((cdep[i] + clause[i] for i in range(len(parents))), default=0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sent_idx": pdf["sent_idx"],
+                    "embed_cnt": emb,
+                    "max_clause_depth": mdep,
+                }
+            )
+
+    return grouped.mapInPandas(
+        kernel,
+        schema="doc_id long, sent_idx int, embed_cnt int, max_clause_depth int",
+    )
+
+
+def sql_embedded_clauses() -> str:
+    """Recursive-CTE oracle: per node, count clause ancestors."""
+    return (
+        "WITH RECURSIVE "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + SQL_SENT_TOK_CTE.strip()
+        + ",\n"
+        + _sql_nodes()
+        + """,
+walk (doc_id, sent_idx, node, is_clause, cur, cdep) AS (
+    SELECT doc_id, sent_idx, tok_i,
+           CASE WHEN cat IN ('smain','ssub','sv1') THEN 1 ELSE 0 END,
+           tok_i, 0
+    FROM nodes
+    UNION ALL
+    SELECT w.doc_id, w.sent_idx, w.node, w.is_clause, s.parent,
+           w.cdep + CASE WHEN s2.cat IN ('smain','ssub','sv1') THEN 1 ELSE 0 END
+    FROM walk w
+    JOIN nodes s ON s.doc_id = w.doc_id AND s.sent_idx = w.sent_idx
+                AND s.tok_i = w.cur
+    JOIN nodes s2 ON s2.doc_id = w.doc_id AND s2.sent_idx = w.sent_idx
+                 AND s2.tok_i = s.parent
+    WHERE w.cur > 0
+),
+per_node AS (
+    SELECT doc_id, sent_idx, node, is_clause, MAX(cdep) AS cdep
+    FROM walk GROUP BY doc_id, sent_idx, node, is_clause
+)
+SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+       CAST(SUM(CASE WHEN is_clause = 1 AND cdep > 0 THEN 1 ELSE 0 END) AS INT)
+           AS embed_cnt,
+       CAST(COALESCE(MAX(cdep + is_clause), 0) AS INT) AS max_clause_depth
+FROM per_node
+GROUP BY doc_id, sent_idx"""
+    )
+
+
 def sql_tree_depth() -> str:
     """Recursive-CTE oracle: walk each node's parent chain to the root."""
     return (

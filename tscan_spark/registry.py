@@ -462,6 +462,29 @@ def q_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse.tree_depth(spark, sf_dir)
 
 
+@query("parse_clause_counts", oracle=parse.sql_clause_counts())
+def q_clause_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P8 + P2 battery: finite-verb/conjunction/small-conjunct
+    counts, adverbials under clause cats, relative/adverbial/complement
+    clauses, NP-mod stats, and the D-level cascade (with the -1
+    missing-parse sentinel), all from one parent-joined aggregation."""
+    return parse.clause_counts(spark, sf_dir)
+
+
+@query("parse_doc_summary", oracle=parse.sql_doc_parse_summary())
+def q_doc_parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 correctedClauseCnt (max at sentence, SUM at doc), dLevel -1
+    exclusion from doc means, parse-fail counter, clause density."""
+    return parse.doc_parse_summary(spark, sf_dir)
+
+
+@query("parse_embedded_clauses", oracle=parse.sql_embedded_clauses())
+def q_embedded_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 embedding (mvInbedCnt analog): clause nodes inside another
+    clause via an ancestor-walk Arrow kernel; recursive-CTE oracle."""
+    return parse.embedded_clauses(spark, sf_dir)
+
+
 @query("surprisal_features", oracle=surprisal.sql_surprisal_features())
 def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: sentence LM-aggregate norms -> doc avg-of-avgs."""
