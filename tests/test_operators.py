@@ -174,3 +174,38 @@ def test_parse_surprisal_match_oracle(spark, oracle, name):
 def test_staph_bands_match_oracle(spark, oracle):
     df = QUERIES["tscan_staph_bands"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["tscan_staph_bands"])
+
+
+# ---------------------------------------------------------------------------
+# NER + NP chunks (W27 / J4 interval join / A11)
+# ---------------------------------------------------------------------------
+
+NER_ORACLED = ["ner_token_lookup", "ner_features", "np_chunk_features"]
+
+
+@pytest.mark.parametrize("name", NER_ORACLED)
+def test_ner_match_oracle(spark, oracle, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES[name])
+
+
+def test_ner_bio_invariants(spark):
+    """Every entity has exactly one _B token; _I tokens only follow a
+    _B/_I of the same class within a span (lookupNer j==0 semantics)."""
+    from pyspark.sql import functions as F
+
+    from tscan_spark.operators import ner
+
+    tn = ner.token_ner(spark, SF_DIR)
+    spans = tn.where(F.col("ner_class") != "NONER")
+    b_cnt = spans.where(F.col("bio_tag").endswith("_B")).count()
+    ent_cnt = (
+        ner.synth_entity_spans(
+            __import__("tscan_spark.corpus", fromlist=["x"]).tokens_long(
+                __import__("tscan_spark.corpus", fromlist=["x"]).load(
+                    spark, SF_DIR, "documents"
+                )
+            )
+        ).count()
+    )
+    assert b_cnt == ent_cnt and ent_cnt > 0

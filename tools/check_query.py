@@ -1,0 +1,79 @@
+"""Ad-hoc driver-gate replica: run registered queries against their
+DuckDB oracles at a small SF and report rows/schema/value matches.
+
+Usage: python tools/check_query.py [query ...]   (no args = all oracled)
+Env:   TSCAN_TEST_SF_DIR (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = os.environ.get("TSCAN_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def compare(got: pd.DataFrame, exp: pd.DataFrame) -> str:
+    if sorted(got.columns) != sorted(exp.columns):
+        return f"SCHEMA {sorted(got.columns)} vs {sorted(exp.columns)}"
+    if len(got) != len(exp):
+        return f"ROWS {len(got)} vs {len(exp)}"
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols, ignore_index=True)
+    exp = exp[cols].sort_values(cols, ignore_index=True)
+    for c in cols:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
+            ga, ea = g.astype(float).to_numpy(), e.astype(float).to_numpy()
+            ng, ne = np.isnan(ga), np.isnan(ea)
+            if not (ng == ne).all():
+                return f"NAN {c}"
+            if not np.allclose(ga[~ng], ea[~ne], rtol=1e-9, atol=1e-9):
+                bad = np.where(~np.isclose(ga[~ng], ea[~ne], rtol=1e-9, atol=1e-9))[0][:3]
+                return f"VALUES {c} at {bad}: {ga[~ng][bad]} vs {ea[~ne][bad]}"
+        else:
+            if g.astype(object).tolist() != e.astype(object).tolist():
+                mism = [
+                    (i, a, b)
+                    for i, (a, b) in enumerate(zip(g.tolist(), e.tolist()))
+                    if a != b
+                ][:3]
+                return f"VALUES {c}: {mism}"
+    return "OK"
+
+
+def main() -> int:
+    from tscan_spark.session import get_spark
+    from tscan_spark.registry import QUERIES, ORACLES
+
+    spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    names = sys.argv[1:] or [n for n in QUERIES if n in ORACLES]
+    rc = 0
+    for n in names:
+        try:
+            got = QUERIES[n](spark, SF_DIR).toPandas()
+            exp = con.sql(ORACLES[n]).df()
+            verdict = compare(got, exp)
+        except Exception:
+            verdict = "ERR " + traceback.format_exc(limit=3).splitlines()[-1]
+        if verdict != "OK":
+            rc = 1
+        print(f"{n:40s} {verdict}")
+    spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -314,6 +314,34 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NER + NP chunks (W27 lookupNer remap, J4 interval join, A11 np_length)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import ner  # noqa: E402
+
+
+@query("ner_token_lookup", oracle=ner.sql_token_ner())
+def q_ner_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W27 lookupNer (ner.cxx:8-41) as a J4 interval join: every token
+    against the entity span covering it -> per-word BIO code."""
+    return ner.token_ner(spark, sf_dir)
+
+
+@query("ner_features", oracle=ner.sql_ner_features())
+def q_ner_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain NER battery: per-class token counts, entity counts,
+    mean entity length, PER-as-personal-reference (NER::toSem)."""
+    return ner.ner_features(spark, sf_dir)
+
+
+@query("np_chunk_features", oracle=ner.sql_np_chunk_features())
+def q_np_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 np_length (tscan.cxx:2105-2124): NP chunk count, summed
+    sizes, mean length, indefinite-NP count at doc grain."""
+    return ner.np_chunk_features(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Extended T-Scan battery (W4/W7/W10-W16/W24-W26, D4/D8/D9)
 # ---------------------------------------------------------------------------
 
