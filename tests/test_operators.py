@@ -209,3 +209,36 @@ def test_ner_bio_invariants(spark):
         ).count()
     )
     assert b_cnt == ent_cnt and ent_cnt > 0
+
+
+# ---------------------------------------------------------------------------
+# Vocab dimension consumed as input (S2 / W5 / W14 / W17)
+# ---------------------------------------------------------------------------
+
+DIM_ORACLED = ["tscan_word_features_dim", "tscan_general_doc_features"]
+
+
+@pytest.mark.parametrize("name", DIM_ORACLED)
+def test_vocab_dim_match_oracle(spark, oracle, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES[name])
+
+
+def test_morpheme_first_guard(spark):
+    """W7 strict: whole-word prefix match is NOT enough — the first
+    MORPHEME must be on the negation list (wordstats.cxx:288-305)."""
+    from pyspark.sql import functions as F
+
+    from tscan_spark import corpus, vocab_dim
+
+    documents = corpus.load(spark, SF_DIR, "documents")
+    out = vocab_dim.annotate_from_dim(
+        corpus.tokens_long(documents), vocab_dim.build_vocab_dim(documents)
+    )
+    strict = out.where(F.col("is_morph_neg_strict") == 1)
+    # every strict hit has >1 morphemes and a listed first morpheme
+    bad = strict.where(
+        (F.size("morphemes") <= 1)
+        | ~F.col("morphemes")[0].isin(vocab_dim.annotate.MORPH_NEG_PREFIXES)
+    ).count()
+    assert bad == 0

@@ -314,6 +314,28 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Annotation dim consumed as INPUT (S2 Frog contract; W5/W14/W17)
+# ---------------------------------------------------------------------------
+
+from tscan_spark import vocab_dim  # noqa: E402
+
+
+@query("tscan_word_features_dim", oracle=vocab_dim.sql_word_features_dim())
+def q_word_features_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: annotations CONSUMED from the vocab dimension table
+    (tag/lemma/morphemes as input columns, tscan.cxx:3131-3231), with
+    W5 morpheme counts, W7 first-morpheme negation guard, W14 general
+    noun/verb classes + the 6 derived booleans, W17 user labels."""
+    return vocab_dim.word_features_dim(spark, sf_dir)
+
+
+@query("tscan_general_doc_features", oracle=vocab_dim.sql_general_doc_features())
+def q_general_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 doc battery: general-class counts + 6 boolean counters."""
+    return vocab_dim.general_doc_features(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # NER + NP chunks (W27 lookupNer remap, J4 interval join, A11 np_length)
 # ---------------------------------------------------------------------------
 
