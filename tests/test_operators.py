@@ -242,3 +242,32 @@ def test_morpheme_first_guard(spark):
         | ~F.col("morphemes")[0].isin(vocab_dim.annotate.MORPH_NEG_PREFIXES)
     ).count()
     assert bad == 0
+
+
+def test_pronoun_equivalence_overlap(spark):
+    """L1 with pronoun classes: two different words of the same class in
+    adjacent sentences count as an overlap (utils.cxx:24-90)."""
+    from pyspark.sql import functions as F
+
+    from tscan_spark import annotate
+    from tscan_spark.operators import overlap
+
+    # 'key' and 'big' share class p1s; sentence 2 has no string match
+    # with sentence 1 apart from the class-equivalent pair
+    s1 = "key filter merge scan sort row line fast slow small"
+    s2 = "big part dup hash group join column data value query"
+    doc = spark.createDataFrame([(1, s1 + " " + s2, "s")], "doc_id long, text string, source string")
+    tok = annotate.annotate(
+        __import__("tscan_spark.corpus", fromlist=["x"]).tokens_long(doc)
+    )
+    cand = (F.col("is_content") == 1) | (F.col("tag") == "VNW")
+    kw = F.when(cand, annotate.overlap_keys_expr(F.col("l_word")))
+    sent = tok.groupBy("sent_idx").agg(
+        F.array_distinct(F.flatten(F.collect_list(kw))).alias("keys")
+    ).orderBy("sent_idx").collect()
+    k1, k2 = sent[0].keys, sent[1].keys
+    # 'key' contributes '#p1s' to sentence 1; 'value' carries it in s2
+    assert "#p1s" in k1 and "#p1s" in k2
+    assert not set(w for w in k1 if not w.startswith("#")) & set(
+        w for w in k2 if not w.startswith("#")
+    )

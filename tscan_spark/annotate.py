@@ -147,7 +147,12 @@ def annotate(tok: DataFrame) -> DataFrame:
         .withColumn("is_neg", F.col("l_word").isin(NEG_WORDS).cast("int"))
         .withColumn("is_stop", F.col("lemma").isin(STOP_LEMMATA).cast("int"))
         .withColumn("is_intens", F.col("lemma").isin(INTENSIFIERS).cast("int"))
-        .withColumn("is_formal", F.col("lemma").isin(FORMAL_WORDS).cast("int"))
+        # W13 checkFormal (tscan.cxx:1491-1507): findInflected on the
+        # lemma (the full_lemma pass has no compound-lemma analog here)
+        .withColumn(
+            "is_formal",
+            inflected_lookup(FORMAL_MAP, F.col("lemma")).isNotNull().cast("int"),
+        )
     )
     out = out.withColumn(
         "conn_type",
@@ -206,7 +211,8 @@ annot AS (
            CASE WHEN {_sql_in("l_word", NEG_WORDS)} THEN 1 ELSE 0 END AS is_neg,
            CASE WHEN {_sql_in("lemma", STOP_LEMMATA)} THEN 1 ELSE 0 END AS is_stop,
            CASE WHEN {_sql_in("lemma", INTENSIFIERS)} THEN 1 ELSE 0 END AS is_intens,
-           CASE WHEN {_sql_in("lemma", FORMAL_WORDS)} THEN 1 ELSE 0 END AS is_formal,
+           CASE WHEN {sql_inflected_lookup(FORMAL_MAP, "lemma")} IS NOT NULL
+                THEN 1 ELSE 0 END AS is_formal,
            CASE WHEN {_sql_in("tag", CONNECTIVE_TAGS)}
                 THEN {sql_case_map("lemma", CONNECTIVES)} END AS conn_type,
            {sql_case_map("lemma", SITUATIONS)} AS sit_type
@@ -276,14 +282,21 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
         morph_neg = morph_neg | w.startswith(p)
     out = out.withColumn("is_morph_neg", morph_neg.cast("int"))
 
-    # W10/W11: semantic type, lemma lookup with word fallback (the
-    # reference's inflection-fallback cascade as coalesce of lookups)
+    # W10/W11: semantic type via the findInflected cascade — lemma first
+    # (checkNoun tscan.cxx:1342), then the word form (checkAdj
+    # tscan.cxx:1411-1415 tries l_lemma then l_word), each with the
+    # ±e/en/s suffix fallback (utils.h:32-55)
     out = out.withColumn(
         "noun_sem",
         F.when(
             tag.isin(["N", "ADJ"]),
-            F.coalesce(lexicon_map(NOUN_SEM, lem), lexicon_map(NOUN_SEM, w)),
+            F.coalesce(inflected_lookup(NOUN_SEM, lem), inflected_lookup(NOUN_SEM, w)),
         ),
+    )
+    # UNFOUND_NOUN (checkNoun tscan.cxx:1385-1393): an N-tagged word with
+    # no semantic type — the S10 problems.log trigger
+    out = out.withColumn(
+        "sem_unfound", ((tag == "N") & F.col("noun_sem").isNull()).cast("int")
     )
 
     # W15: adverb type; strict content = content minus non-MANNER adverbs
@@ -356,13 +369,18 @@ def sql_annot_ext_cte() -> str:
     """Oracle CTE for the extended battery (depends on `annot`)."""
     morph = " OR ".join(f"word LIKE '{p}%'" for p in MORPH_NEG_PREFIXES)
     nominal = " OR ".join(f"word LIKE '%{s}'" for s in NOMINAL_SUFFIXES)
+    noun_sem_sql = (
+        "CASE WHEN tag IN ('N', 'ADJ') THEN "
+        f"COALESCE({sql_inflected_lookup(NOUN_SEM, 'lemma')}, "
+        f"{sql_inflected_lookup(NOUN_SEM, 'word')}) END"
+    )
     return f"""
 annot_ext AS (
     SELECT annot.*,
            CASE WHEN {morph} THEN 1 ELSE 0 END AS is_morph_neg,
-           CASE WHEN tag IN ('N', 'ADJ') THEN
-                COALESCE({sql_case_map("lemma", NOUN_SEM)},
-                         {sql_case_map("word", NOUN_SEM)}) END AS noun_sem,
+           {noun_sem_sql} AS noun_sem,
+           CASE WHEN tag = 'N' AND ({noun_sem_sql}) IS NULL
+                THEN 1 ELSE 0 END AS sem_unfound,
            CASE WHEN tag = 'BW' THEN {sql_case_map("word", ADVERB_TYPES)} END
                AS adverb_type,
            CASE WHEN is_content = 1 AND (tag <> 'BW' OR
@@ -379,9 +397,7 @@ annot_ext AS (
                AS comp_head,
            CASE WHEN tag = 'N' AND length(word) >= {COMPOUND_MIN_LEN}
                 THEN length(word) - {COMPOUND_SAT_LEN} END AS comp_head_len,
-           CASE WHEN (CASE WHEN tag IN ('N', 'ADJ') THEN
-                        COALESCE({sql_case_map("lemma", NOUN_SEM)},
-                                 {sql_case_map("word", NOUN_SEM)}) END) = 'HUMAN'
+           CASE WHEN ({noun_sem_sql}) = 'HUMAN'
                      OR tag = 'VNW' THEN 1 ELSE 0 END AS is_pers_ref,
            CASE WHEN tag = 'WW' THEN
                 CASE WHEN length(word) % 2 = 0 THEN 'pv' ELSE 'inf' END END AS verb_form,
@@ -392,3 +408,90 @@ annot_ext AS (
                AS adj_pos
     FROM annot
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Pronoun equivalence classes for argument overlap (L1/L2)
+# ---------------------------------------------------------------------------
+
+# The reference's argument_overlap (/root/reference/src/utils.cxx:24-90)
+# counts a candidate as overlapping when it string-equals a buffer entry
+# OR both belong to the same pronoun equivalence class (7 classes:
+# 1s/2s/3sm/3sf/1p/2p/3p; membership OVERLAPS — "zij"/"ze" sit in both
+# 3sf and 3p).  Synthetic analog over this vocabulary, with the same
+# shape: 7 classes, one word ("data") deliberately in two classes.
+PRONOUN_CLASSES = [
+    ("p1s", ["key", "big"]),
+    ("p2s", ["row", "line"]),
+    ("p3sm", ["table", "column"]),
+    ("p3sf", ["data", "batch"]),
+    ("p1p", ["group", "part"]),
+    ("p2p", ["join"]),
+    ("p3p", ["data", "stream"]),
+]
+
+_PRONOUN_MARKERS: dict[str, list[str]] = {}
+for _cls, _words in PRONOUN_CLASSES:
+    for _w in _words:
+        _PRONOUN_MARKERS.setdefault(_w, []).append("#" + _cls)
+
+
+def overlap_keys_expr(col: Column) -> Column:
+    """Match-key array for a word: [word, *class markers].
+
+    Two words overlap-match iff their key arrays intersect — equality
+    via the word key, pronoun equivalence via a shared class marker
+    (markers start with '#', disjoint from surface words)."""
+    kv: list[Column] = []
+    for w, marks in sorted(_PRONOUN_MARKERS.items()):
+        kv.extend([F.lit(w), F.array(*[F.lit(m) for m in marks])])
+    markers = F.coalesce(F.element_at(F.create_map(*kv), col), F.array())
+    return F.concat(F.array(col), markers)
+
+
+def sql_overlap_keys(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{w}' THEN {marks!r}".replace('"', "'")
+        for w, marks in sorted(_PRONOUN_MARKERS.items())
+    )
+    return f"list_prepend({col}, CASE {col} {arms} ELSE [] END)"
+
+
+# ---------------------------------------------------------------------------
+# findInflected lookup cascade (W10/W11/W13)
+# ---------------------------------------------------------------------------
+
+# /root/reference/include/tscan/utils.h:13 — the exact suffix list, in
+# cascade order: exact match first, then per suffix: if the key ENDS
+# with the suffix try it stripped, otherwise try it appended.
+INFLECTION_SUFFIXES = ["e", "en", "s"]
+
+
+def inflected_lookup(mapping: dict[str, str], col: Column) -> Column:
+    """findInflected (utils.h:32-55) as a coalesce cascade of literal-map
+    lookups — constant-folds into codegen, zero joins."""
+    result = lexicon_map(mapping, col)
+    for s in INFLECTION_SUFFIXES:
+        stripped = F.substr(col, F.lit(1), F.length(col) - len(s))
+        variant = F.when(
+            (F.length(col) > len(s)) & col.endswith(s),
+            lexicon_map(mapping, stripped),
+        ).otherwise(lexicon_map(mapping, F.concat(col, F.lit(s))))
+        result = F.coalesce(result, variant)
+    return result
+
+
+def sql_inflected_lookup(mapping: dict[str, str], col: str) -> str:
+    parts = [sql_case_map(col, mapping)]
+    for s in INFLECTION_SUFFIXES:
+        stripped = f"substring({col}, 1, length({col}) - {len(s)})"
+        appended = f"({col} || '{s}')"
+        parts.append(
+            f"CASE WHEN length({col}) > {len(s)} AND {col} LIKE '%{s}' "
+            f"THEN {sql_case_map(stripped, mapping)} "
+            f"ELSE {sql_case_map(appended, mapping)} END"
+        )
+    return "COALESCE(" + ", ".join(parts) + ")"
+
+
+FORMAL_MAP = {w: "1" for w in FORMAL_WORDS}

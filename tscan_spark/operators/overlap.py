@@ -15,10 +15,14 @@ configurable — scaled to 20 for the synthetic corpus).
 Both are pure Window + higher-order-function plans: no Python UDFs, no
 extra shuffles beyond the window sort. The window partition key is
 always (doc_id[, par_idx]), so long-document skew is bounded by document
-length; candidate gating matches the reference (content words stand in
-for the N/name/pronoun/head-verb candidate test, wordstats.cxx:313-331;
-the reference's pronoun equivalence classes are modeled by the parallel
-lemma-level match).
+length; candidate gating matches the reference (content OR pronoun,
+the N/name/pronoun/head-verb candidate test, wordstats.cxx:313-331).
+
+Pronoun equivalence (utils.cxx:24-90): matching is by *key-array
+intersection* — each word's keys are [word, *pronoun-class markers]
+(annotate.PRONOUN_CLASSES), so string equality and same-class pronoun
+pairs both count, including overlapping class membership, exactly like
+the reference's 7 static sets.
 """
 
 from __future__ import annotations
@@ -42,16 +46,18 @@ def sentence_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap counts (NULL for the first sentence of each paragraph).
     """
     tok = _annotated(spark, sf_dir)
-    cand_word = F.when(F.col("is_content") == 1, F.col("l_word"))
-    cand_lemma = F.when(F.col("is_content") == 1, F.col("lemma"))
-    # candidate words/lemmas in document order: collect (idx, value)
+    cand = (F.col("is_content") == 1) | (F.col("tag") == "VNW")
+    kw = F.when(cand, annotate.overlap_keys_expr(F.col("l_word")))
+    kl = F.when(cand, annotate.overlap_keys_expr(F.col("lemma")))
+    # candidate key-arrays in document order: collect (idx, keys)
     # structs (collect_list skips NULL non-candidates), sort, project —
-    # deterministic regardless of shuffle order
+    # deterministic regardless of shuffle order; the buffer "set" is the
+    # flattened distinct key union of the sentence's candidates
     sent = tok.groupBy("doc_id", "par_idx", "sent_idx").agg(
-        F.sort_array(F.collect_list(F.struct("word_idx", cand_word.alias("v")))).alias("_cw"),
-        F.sort_array(F.collect_list(F.struct("word_idx", cand_lemma.alias("v")))).alias("_cl"),
-        F.sort_array(F.collect_set(cand_word)).alias("cand_word_set"),
-        F.sort_array(F.collect_set(cand_lemma)).alias("cand_lemma_set"),
+        F.sort_array(F.collect_list(F.struct("word_idx", kw.alias("v")))).alias("_cw"),
+        F.sort_array(F.collect_list(F.struct("word_idx", kl.alias("v")))).alias("_cl"),
+        F.array_distinct(F.flatten(F.collect_list(kw))).alias("cand_word_set"),
+        F.array_distinct(F.flatten(F.collect_list(kl))).alias("cand_lemma_set"),
     )
     sent = (
         sent.withColumn("cand_words", F.transform("_cw", lambda s: s["v"]))
@@ -64,7 +70,7 @@ def sentence_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     match_cnt = lambda cur, prev: F.when(
         F.col(prev).isNotNull(),
-        F.size(F.filter(F.col(cur), lambda x: F.array_contains(F.col(prev), x))),
+        F.size(F.filter(F.col(cur), lambda x: F.arrays_overlap(x, F.col(prev)))),
     ).cast("int")
     return sent.select(
         "doc_id",
@@ -75,13 +81,17 @@ def sentence_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SENTENCE_OVERLAP_TMPL = """
+def _sql_sentence_overlap() -> str:
+    kw = annotate.sql_overlap_keys("l_word")
+    kl = annotate.sql_overlap_keys("lemma")
+    cand = "(is_content = 1 OR tag = 'VNW')"
+    return f"""
 SELECT s.doc_id, s.par_idx, s.sent_idx,
        CAST(CASE WHEN s.prev_word_set IS NOT NULL THEN
-            len(list_filter(s.cand_words, w -> list_contains(s.prev_word_set, w)))
+            len(list_filter(s.cand_words, w -> list_has_any(w, s.prev_word_set)))
        END AS INT) AS word_overlap_cnt,
        CAST(CASE WHEN s.prev_lemma_set IS NOT NULL THEN
-            len(list_filter(s.cand_lemmas, w -> list_contains(s.prev_lemma_set, w)))
+            len(list_filter(s.cand_lemmas, w -> list_has_any(w, s.prev_lemma_set)))
        END AS INT) AS lemma_overlap_cnt
 FROM (
     SELECT *,
@@ -91,18 +101,21 @@ FROM (
                AS prev_lemma_set
     FROM (
         SELECT doc_id, par_idx, sent_idx,
-               coalesce(list(l_word ORDER BY word_idx) FILTER (WHERE is_content = 1),
+               coalesce(list({kw} ORDER BY word_idx) FILTER (WHERE {cand}),
                         []) AS cand_words,
-               coalesce(list(lemma ORDER BY word_idx) FILTER (WHERE is_content = 1),
+               coalesce(list({kl} ORDER BY word_idx) FILTER (WHERE {cand}),
                         []) AS cand_lemmas,
-               coalesce(list(DISTINCT l_word) FILTER (WHERE is_content = 1),
-                        []) AS cand_word_set,
-               coalesce(list(DISTINCT lemma) FILTER (WHERE is_content = 1),
-                        []) AS cand_lemma_set
+               list_distinct(flatten(coalesce(list({kw}) FILTER (WHERE {cand}), [])))
+                   AS cand_word_set,
+               list_distinct(flatten(coalesce(list({kl}) FILTER (WHERE {cand}), [])))
+                   AS cand_lemma_set
         FROM annot
         GROUP BY doc_id, par_idx, sent_idx
     )
 ) s"""
+
+
+SQL_SENTENCE_OVERLAP_TMPL = _sql_sentence_overlap()
 
 
 def doc_sliding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,15 +132,28 @@ def doc_sliding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("word_idx")
         .rowsBetween(-OVERLAP_SIZE, -1)
     )
-    tok = tok.withColumn("buf_w", F.collect_list("l_word").over(w)).withColumn(
-        "buf_l", F.collect_list("lemma").over(w)
+    # the buffer holds key arrays of ALL previous words (flattened to a
+    # key union); the candidate's keys intersect it on a string match or
+    # a shared pronoun-class marker
+    tok = tok.withColumn(
+        "buf_w",
+        F.flatten(F.collect_list(annotate.overlap_keys_expr(F.col("l_word"))).over(w)),
+    ).withColumn(
+        "buf_l",
+        F.flatten(F.collect_list(annotate.overlap_keys_expr(F.col("lemma"))).over(w)),
     )
-    eligible = (F.col("is_content") == 1) & (F.col("word_idx") >= OVERLAP_SIZE)
+    eligible = ((F.col("is_content") == 1) | (F.col("tag") == "VNW")) & (
+        F.col("word_idx") >= OVERLAP_SIZE
+    )
     tok = tok.select(
         "doc_id",
         eligible.cast("int").alias("is_eligible"),
-        (eligible & F.array_contains("buf_w", F.col("l_word"))).cast("int").alias("hit_w"),
-        (eligible & F.array_contains("buf_l", F.col("lemma"))).cast("int").alias("hit_l"),
+        (eligible & F.arrays_overlap("buf_w", annotate.overlap_keys_expr(F.col("l_word"))))
+        .cast("int")
+        .alias("hit_w"),
+        (eligible & F.arrays_overlap("buf_l", annotate.overlap_keys_expr(F.col("lemma"))))
+        .cast("int")
+        .alias("hit_l"),
     )
     return tok.groupBy("doc_id").agg(
         F.sum("is_eligible").cast("long").alias("eligible_cnt"),
@@ -136,21 +162,32 @@ def doc_sliding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DOC_SLIDING_OVERLAP_TMPL = """
+def _sql_doc_sliding_overlap() -> str:
+    kw = annotate.sql_overlap_keys("l_word")
+    kl = annotate.sql_overlap_keys("lemma")
+    cand = "(is_content = 1 OR tag = 'VNW')"
+    frame = (
+        "OVER (PARTITION BY doc_id ORDER BY word_idx "
+        "ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
 SELECT doc_id,
-       CAST(SUM(CASE WHEN is_content = 1 AND word_idx >= {n} THEN 1 ELSE 0 END) AS BIGINT)
-           AS eligible_cnt,
-       CAST(SUM(CASE WHEN is_content = 1 AND word_idx >= {n} AND EXISTS (
-            SELECT 1 FROM annot b
-            WHERE b.doc_id = a.doc_id
-              AND b.word_idx BETWEEN a.word_idx - {n} AND a.word_idx - 1
-              AND b.l_word = a.l_word
-       ) THEN 1 ELSE 0 END) AS BIGINT) AS word_overlap_cnt,
-       CAST(SUM(CASE WHEN is_content = 1 AND word_idx >= {n} AND EXISTS (
-            SELECT 1 FROM annot b
-            WHERE b.doc_id = a.doc_id
-              AND b.word_idx BETWEEN a.word_idx - {n} AND a.word_idx - 1
-              AND b.lemma = a.lemma
-       ) THEN 1 ELSE 0 END) AS BIGINT) AS lemma_overlap_cnt
-FROM annot a
+       CAST(SUM(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT) AS eligible_cnt,
+       CAST(SUM(CASE WHEN eligible AND list_has_any(buf_w, kw) THEN 1 ELSE 0 END)
+            AS BIGINT) AS word_overlap_cnt,
+       CAST(SUM(CASE WHEN eligible AND list_has_any(buf_l, kl) THEN 1 ELSE 0 END)
+            AS BIGINT) AS lemma_overlap_cnt
+FROM (
+    SELECT doc_id,
+           {cand} AND word_idx >= {{n}} AS eligible,
+           kw, kl,
+           flatten(list(kw) {frame}) AS buf_w,
+           flatten(list(kl) {frame}) AS buf_l
+    FROM (
+        SELECT annot.*, {kw} AS kw, {kl} AS kl FROM annot
+    )
+)
 GROUP BY doc_id"""
+
+
+SQL_DOC_SLIDING_OVERLAP_TMPL = _sql_doc_sliding_overlap()

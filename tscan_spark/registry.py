@@ -314,6 +314,43 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S10 problems.log side output (checkNoun tscan.cxx:1385-1393)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "problems_log",
+    oracle=(
+        _ANNOT_PRELUDE
+        + ",\n"
+        + annotate.sql_annot_ext_cte().strip()
+        + """
+SELECT doc_id, sent_idx, word_idx,
+       'N' AS problem_type, word, lemma
+FROM annot_ext
+WHERE sem_unfound = 1"""
+    ),
+)
+def q_problems_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: the problems.log side output — one row per UNFOUND noun
+    (the reference writes "N,word,lemma" lines when showProblems is on,
+    tscan.cxx:1385-1393). A pure filter over the annotated grain; at
+    scale this is the classic side-output-as-second-sink pattern (write
+    main + filtered problem stream from one persisted token grain)."""
+    tok = annotate.annotate_extended(
+        annotate.annotate(corpus.tokens_long(corpus.load(spark, sf_dir, "documents")))
+    )
+    return tok.where(F.col("sem_unfound") == 1).select(
+        "doc_id",
+        "sent_idx",
+        "word_idx",
+        F.lit("N").alias("problem_type"),
+        "word",
+        "lemma",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Annotation dim consumed as INPUT (S2 Frog contract; W5/W14/W17)
 # ---------------------------------------------------------------------------
 
