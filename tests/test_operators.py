@@ -271,3 +271,52 @@ def test_pronoun_equivalence_overlap(spark):
     assert not set(w for w in k1 if not w.startswith("#")) & set(
         w for w in k2 if not w.startswith("#")
     )
+
+
+def test_greedy_four_gram_beats_prefix():
+    """M2: longest-match means 'a key order sort' consumes all 4 words
+    (ONE hit), not the embedded 3-gram + leftover."""
+    from tscan_spark.operators.sequential import MW_LEXICONS, greedy_match_counts
+
+    phrases = set(MW_LEXICONS["mw_prep"])
+    words = "a key order sort".split()
+    assert greedy_match_counts(words, phrases) == 1
+    # and after consuming the 4-gram nothing is left to re-match
+    words2 = "a key order sort order sort".split()
+    assert greedy_match_counts(words2, phrases) == 2  # 4-gram + 'order sort'
+
+
+def test_check_als_backward_scan(spark):
+    """M1 checkAls: nearest preceding comp/opsom set-word decides; ADJ
+    fallback; sentence-initial trigger is CAUSAAL (sentstats.cxx:366-424)."""
+    from tscan_spark.operators import sequential
+
+    docs = spark.createDataFrame(
+        [
+            # scan (comp) ... window -> COMPARATIEF, partner idx 1
+            (1, "key scan merge window value value value value value value", "s"),
+            # spark (opsom) nearer than scan -> OPSOMMEND_WG, partner 2
+            (2, "scan big spark window value value value value value value", "s"),
+            # no set word; prev is ADJ ('row') -> COMPARATIEF
+            (3, "key value merge row window value value value value value", "s"),
+            # no set word; prev not ADJ -> CAUSAAL
+            (4, "key value merge big window value value value value value", "s"),
+            # trigger at sentence position 0 -> CAUSAAL
+            (5, "window value merge big value value value value value key", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    import tscan_spark.operators.sequential as seq
+
+    # run the operator over the constructed docs via a temp parquet dir
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    res = seq.als_connectives(spark, d).orderBy("doc_id").collect()
+    by_doc = {r.doc_id: r for r in res}
+    assert by_doc[1].als_conn_type == "COMPARATIEF" and by_doc[1].partner_word_idx == 1
+    assert by_doc[2].als_conn_type == "OPSOMMEND_WG" and by_doc[2].partner_word_idx == 2
+    assert by_doc[3].als_conn_type == "COMPARATIEF" and by_doc[3].partner_word_idx is None
+    assert by_doc[4].als_conn_type == "CAUSAAL"
+    assert by_doc[5].als_conn_type == "CAUSAAL"

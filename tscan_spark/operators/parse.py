@@ -659,3 +659,157 @@ SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
 FROM depths
 GROUP BY doc_id, sent_idx"""
     )
+
+
+# ---------------------------------------------------------------------------
+# W29 verb classification + W28 imperative (Alpino.cxx:640-726, 956-966)
+# ---------------------------------------------------------------------------
+#
+# The reference classifies each verb by lemma class + sibling relations:
+#   PASSIVE: lemma zijn/worden with sc="passive"       (Alpino.cxx:650-662)
+#   COPULA:  koppel-lemma with a predc sibling          (663-671)
+#   TIME:    zullen; hebben with a vc sibling; zijn     (687-708)
+#   MODAL:   modal-lemma list                           (692-694)
+#   HEAD:    everything else                            (724)
+# and flags a clause imperative when no sibling bears rel su/sup
+# (checkImp, Alpino.cxx:956-966).
+#
+# Synthetic analogs over the deterministic node table (lemmas here are
+# the WW-tagged vocabulary; 'predm' stands in for predc — the node
+# taxonomy has no separate predc):
+PASSIVE_AUX_LEMMA = "merge"  # zijn/worden analog
+KOPPEL_LEMMAS = ["hash"]  # koppels
+MODAL_LEMMAS = ["group", "key"]  # modals list
+TIME_LEMMA = "line"  # zullen
+HEBBEN_LEMMA = "join"  # hebben: TIME with a vc sibling, else HEAD
+
+VERB_CLASSES = ["PASSIVE", "COPULA", "TIME", "MODAL", "HEAD"]
+
+
+def _sc_expr() -> F.Column:
+    """Synthetic Alpino `sc` attribute for verb nodes."""
+    return F.when(
+        (F.col("tag") == "WW") & (F.col("tok_i") % 4 == 0), "passive"
+    ).otherwise("normal")
+
+
+SQL_SC = "CASE WHEN tag = 'WW' AND tok_i % 4 = 0 THEN 'passive' ELSE 'normal' END"
+
+
+def verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W29/W28 sentence battery: per-class verb counts + imperative flag.
+
+    Plan: one aggregation of the node table by (doc, sent, parent) to
+    compute sibling-relation presence, joined back on the same sentence
+    key (co-partitioned — one shuffle, bounded groups), then the lemma/
+    sibling classification cascade as pure codegen CASE logic, and one
+    final sentence-grain aggregate.
+    """
+    from tscan_spark import annotate
+
+    nodes = parse_nodes(spark, sf_dir).withColumn("sc", _sc_expr())
+    nodes = nodes.withColumn("lemma", annotate.lemma_expr(F.col("word")))
+    sib = nodes.groupBy("doc_id", "sent_idx", "parent").agg(
+        F.sum(F.when(F.col("rel") == "su", 1).otherwise(0)).alias("_su_cnt"),
+        F.sum(F.when(F.col("rel") == "predm", 1).otherwise(0)).alias("_predm_cnt"),
+        F.sum(F.when(F.col("rel") == "vc", 1).otherwise(0)).alias("_vc_cnt"),
+    )
+    j = nodes.join(sib, ["doc_id", "sent_idx", "parent"])
+    # sibling counts EXCLUDE the node itself
+    has_su_sib = (F.col("_su_cnt") - F.when(F.col("rel") == "su", 1).otherwise(0)) > 0
+    has_predm_sib = (
+        F.col("_predm_cnt") - F.when(F.col("rel") == "predm", 1).otherwise(0)
+    ) > 0
+    has_vc_sib = (F.col("_vc_cnt") - F.when(F.col("rel") == "vc", 1).otherwise(0)) > 0
+    lem = F.col("lemma")
+    verb_class = F.when(
+        F.col("tag") == "WW",
+        F.when((lem == PASSIVE_AUX_LEMMA) & (F.col("sc") == "passive"), "PASSIVE")
+        .when(lem.isin(KOPPEL_LEMMAS) & has_predm_sib, "COPULA")
+        .when(lem == TIME_LEMMA, "TIME")
+        .when(lem.isin(MODAL_LEMMAS), "MODAL")
+        .when((lem == HEBBEN_LEMMA) & has_vc_sib, "TIME")
+        .when(lem == HEBBEN_LEMMA, "HEAD")
+        .when(lem == PASSIVE_AUX_LEMMA, "TIME")
+        .otherwise("HEAD"),
+    )
+    j = j.withColumn("verb_class", verb_class)
+    # W28: an smain node with no su/sup sibling -> imperative clause
+    imp = (F.col("cat") == "smain") & ~has_su_sib
+    per_cls = [
+        F.sum(F.when(F.col("verb_class") == c, 1).otherwise(0))
+        .cast("int")
+        .alias(f"{c.lower()}_cnt")
+        for c in VERB_CLASSES
+    ]
+    return j.groupBy("doc_id", "sent_idx").agg(
+        *per_cls,
+        F.max(imp.cast("int")).cast("int").alias("is_imperative"),
+    ).withColumn("sent_idx", F.col("sent_idx").cast("int"))
+
+
+def sql_verb_features() -> str:
+    from tscan_spark import annotate
+
+    per_cls = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN verb_class = '{c}' THEN 1 ELSE 0 END) AS INT)"
+        f" AS {c.lower()}_cnt"
+        for c in VERB_CLASSES
+    )
+    koppels = ", ".join(f"'{w}'" for w in KOPPEL_LEMMAS)
+    modals = ", ".join(f"'{w}'" for w in MODAL_LEMMAS)
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + SQL_SENT_TOK_CTE.strip()
+        + ",\n"
+        + _sql_nodes()
+        + f""",
+vnodes AS (
+    SELECT nodes.*,
+           {SQL_SC} AS sc,
+           {annotate.sql_lemma("word")} AS lemma
+    FROM nodes
+),
+sib AS (
+    SELECT doc_id, sent_idx, parent,
+           SUM(CASE WHEN rel = 'su' THEN 1 ELSE 0 END) AS su_cnt,
+           SUM(CASE WHEN rel = 'predm' THEN 1 ELSE 0 END) AS predm_cnt,
+           SUM(CASE WHEN rel = 'vc' THEN 1 ELSE 0 END) AS vc_cnt
+    FROM vnodes
+    GROUP BY doc_id, sent_idx, parent
+),
+vj AS (
+    SELECT n.*,
+           (s.su_cnt - CASE WHEN n.rel = 'su' THEN 1 ELSE 0 END) > 0 AS has_su_sib,
+           (s.predm_cnt - CASE WHEN n.rel = 'predm' THEN 1 ELSE 0 END) > 0
+               AS has_predm_sib,
+           (s.vc_cnt - CASE WHEN n.rel = 'vc' THEN 1 ELSE 0 END) > 0 AS has_vc_sib
+    FROM vnodes n
+    JOIN sib s USING (doc_id, sent_idx, parent)
+),
+vcls AS (
+    SELECT vj.*,
+           CASE WHEN tag = 'WW' THEN
+                CASE
+                  WHEN lemma = '{PASSIVE_AUX_LEMMA}' AND sc = 'passive' THEN 'PASSIVE'
+                  WHEN lemma IN ({koppels}) AND has_predm_sib THEN 'COPULA'
+                  WHEN lemma = '{TIME_LEMMA}' THEN 'TIME'
+                  WHEN lemma IN ({modals}) THEN 'MODAL'
+                  WHEN lemma = '{HEBBEN_LEMMA}' AND has_vc_sib THEN 'TIME'
+                  WHEN lemma = '{HEBBEN_LEMMA}' THEN 'HEAD'
+                  WHEN lemma = '{PASSIVE_AUX_LEMMA}' THEN 'TIME'
+                  ELSE 'HEAD'
+                END
+           END AS verb_class,
+           CASE WHEN cat = 'smain' AND NOT has_su_sib THEN 1 ELSE 0 END AS imp
+    FROM vj
+)
+SELECT doc_id,
+       CAST(sent_idx AS INT) AS sent_idx,
+       {per_cls},
+       CAST(MAX(imp) AS INT) AS is_imperative
+FROM vcls
+GROUP BY doc_id, sent_idx"""
+    )

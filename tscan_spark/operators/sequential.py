@@ -60,9 +60,12 @@ def _round6(x: float) -> float:
 MW_LEXICONS: dict[str, list[str]] = {
     "mw_conn": ["value vector", "window value vector", "the table"],
     "mw_intens": ["big fast", "fast big", "small slow"],
-    "mw_prep": ["the key", "a key order", "order sort"],
+    "mw_prep": ["the key", "a key order", "order sort", "a key order sort"],
 }
-MAX_PHRASE = 3
+# M2: the reference's MAX_PHRASE_LEN is 4 (multi-word situations scan
+# 4-grams first, sentstats.cxx:430-537); longest-match order means a
+# 4-gram beats its embedded 3-gram prefix.
+MAX_PHRASE = 4
 
 
 def mtld_fold(tokens: list[str], threshold: float = MTLD_THRESHOLD) -> float:
@@ -472,24 +475,29 @@ def sql_multiword_matches() -> str:
 
     def scan_cte(fam: str) -> str:
         lits = ", ".join(f"'{p}'" for p in MW_LEXICONS[fam])
-        # try length 3 then 2 at pos (1-based list ops); advance greedily
+        # try MAX_PHRASE..2 at pos (1-based list ops); advance greedily
+        hit_at = lambda k: (
+            f"pos + {k - 1} <= len(a.words) "
+            f"AND array_to_string(a.words[pos:pos+{k - 1}], ' ') IN ({lits})"
+        )
+        step_arms = "\n             ".join(
+            f"WHEN {hit_at(k)} THEN pos + {k}"
+            for k in range(MAX_PHRASE, 1, -1)
+        )
+        any_hit = "\n               OR ".join(
+            f"({hit_at(k)})" for k in range(MAX_PHRASE, 1, -1)
+        )
         return f"""
 scan_{fam} (doc_id, sent_idx, pos, hits) AS (
     SELECT doc_id, sent_idx, 1, 0 FROM sent_arr
     UNION ALL
     SELECT s.doc_id, s.sent_idx,
            CASE
-             WHEN pos + 2 <= len(a.words)
-                  AND array_to_string(a.words[pos:pos+2], ' ') IN ({lits}) THEN pos + 3
-             WHEN pos + 1 <= len(a.words)
-                  AND array_to_string(a.words[pos:pos+1], ' ') IN ({lits}) THEN pos + 2
+             {step_arms}
              ELSE pos + 1
            END,
            hits + CASE
-             WHEN (pos + 2 <= len(a.words)
-                   AND array_to_string(a.words[pos:pos+2], ' ') IN ({lits}))
-               OR (pos + 1 <= len(a.words)
-                   AND array_to_string(a.words[pos:pos+1], ' ') IN ({lits})) THEN 1
+             WHEN {any_hit} THEN 1
              ELSE 0
            END
     FROM scan_{fam} s
@@ -519,4 +527,120 @@ SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
        {cols}
 FROM sent_arr
 {joins}"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 checkAls backward scan (sentstats.cxx:366-424)
+# ---------------------------------------------------------------------------
+#
+# The reference's "als" rule: when the trigger word appears, scan the
+# sentence BACKWARD from the previous position; the nearest preceding
+# word in the comp-set ("net ... als") makes both words COMPARATIEF,
+# the nearest in the opsom-set ("zowel ... als") makes both
+# OPSOMMEND_WG; if neither exists and the trigger is VG-tagged, a
+# directly-preceding ADJ makes it COMPARATIEF ("groter als"), else
+# CAUSAAL; trigger at sentence position 0 is CAUSAAL outright.  (The
+# reference's final "als <TW>" branch has no analog — the synthetic tag
+# bands carry no TW class.)
+#
+# Synthetic analog: trigger 'window' (always VG), comp-set, opsom-set:
+ALS_WORD = "window"
+ALS_COMP_SET = ["scan", "slow"]  # net/evenmin/zo/zomin analog
+ALS_OPSOM_SET = ["spark"]  # zowel analog
+
+
+def als_connectives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-grain checkAls assignments: for every trigger occurrence,
+    the assigned Conn type and the partner word position (the preceding
+    set-word that also receives the type).
+
+    Pure window plan: the backward scan is
+    ``last_value(flag, ignorenulls) OVER (sentence ROWS UNBOUNDED
+    PRECEDING .. 1 PRECEDING)`` — nearest preceding set-word, no kernel,
+    no self-join, one sort per sentence partition.
+    """
+    from pyspark.sql import Window
+
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    tok = tok.withColumn("tag", annotate.tag_expr(F.col("word")))
+    flag = (
+        F.when(F.col("word").isin(ALS_COMP_SET), "COMPARATIEF")
+        .when(F.col("word").isin(ALS_OPSOM_SET), "OPSOMMEND_WG")
+    )
+    w = (
+        Window.partitionBy("doc_id", "sent_idx")
+        .orderBy("word_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok = (
+        tok.withColumn("_flag", flag)
+        .withColumn("_last_flag", F.last("_flag", ignorenulls=True).over(w))
+        .withColumn(
+            "_last_flag_idx",
+            F.last(
+                F.when(flag.isNotNull(), F.col("word_idx")), ignorenulls=True
+            ).over(w),
+        )
+        .withColumn(
+            "_prev_tag",
+            F.lag("tag").over(
+                Window.partitionBy("doc_id", "sent_idx").orderBy("word_idx")
+            ),
+        )
+    )
+    sent_pos = F.col("word_idx") % corpus.SENT_LEN
+    als_conn = (
+        F.when(sent_pos == 0, "CAUSAAL")
+        .when(F.col("_last_flag").isNotNull(), F.col("_last_flag"))
+        .when(F.col("_prev_tag") == "ADJ", "COMPARATIEF")
+        .otherwise("CAUSAAL")
+    )
+    return tok.where(F.col("word") == ALS_WORD).select(
+        "doc_id",
+        "sent_idx",
+        "word_idx",
+        als_conn.alias("als_conn_type"),
+        F.when(F.col("_last_flag").isNotNull(), F.col("_last_flag_idx"))
+        .cast("int")
+        .alias("partner_word_idx"),
+    )
+
+
+def sql_als_connectives() -> str:
+    comp = ", ".join(f"'{w}'" for w in ALS_COMP_SET)
+    opsom = ", ".join(f"'{w}'" for w in ALS_OPSOM_SET)
+    frame = (
+        "OVER (PARTITION BY doc_id, sent_idx ORDER BY word_idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+alsf AS (
+    SELECT tok.*,
+           {annotate.sql_tag("word")} AS tag,
+           CASE WHEN word IN ({comp}) THEN 'COMPARATIEF'
+                WHEN word IN ({opsom}) THEN 'OPSOMMEND_WG' END AS flag
+    FROM tok
+),
+alsw AS (
+    SELECT *,
+           last_value(flag IGNORE NULLS) {frame} AS last_flag,
+           last_value(CASE WHEN flag IS NOT NULL THEN word_idx END IGNORE NULLS)
+               {frame} AS last_flag_idx,
+           lag(tag) OVER (PARTITION BY doc_id, sent_idx ORDER BY word_idx)
+               AS prev_tag
+    FROM alsf
+)
+SELECT doc_id, sent_idx, word_idx,
+       CASE WHEN word_idx % {corpus.SENT_LEN} = 0 THEN 'CAUSAAL'
+            WHEN last_flag IS NOT NULL THEN last_flag
+            WHEN prev_tag = 'ADJ' THEN 'COMPARATIEF'
+            ELSE 'CAUSAAL' END AS als_conn_type,
+       CAST(CASE WHEN last_flag IS NOT NULL THEN last_flag_idx END AS INT)
+           AS partner_word_idx
+FROM alsw
+WHERE word = '{ALS_WORD}'"""
     )

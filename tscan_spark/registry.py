@@ -213,6 +213,15 @@ def q_multiword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequential.multiword_matches(spark, sf_dir)
 
 
+@query("als_connectives", oracle=sequential.sql_als_connectives())
+def q_als_connectives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 checkAls (sentstats.cxx:366-424): backward scan from each
+    trigger occurrence to the nearest comp/opsom set-word, with the
+    ADJ-before-VG and sentence-initial fallbacks, as a pure
+    last_value(ignorenulls) window plan."""
+    return sequential.als_connectives(spark, sf_dir)
+
+
 @query("doc_mtld", oracle=sequential.sql_doc_mtld())
 def q_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 MTLD (bidirectional, threshold 0.720) over the full 15-stream
@@ -570,6 +579,14 @@ def q_embedded_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 embedding (mvInbedCnt analog): clause nodes inside another
     clause via an ancestor-walk Arrow kernel; recursive-CTE oracle."""
     return parse.embedded_clauses(spark, sf_dir)
+
+
+@query("parse_verb_features", oracle=parse.sql_verb_features())
+def q_verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W29 verb classification (PASSIVE/COPULA/TIME/MODAL/HEAD by lemma
+    class + sibling relations, Alpino.cxx:640-726) and W28 imperative
+    detection (smain with no su sibling, Alpino.cxx:956-966)."""
+    return parse.verb_features(spark, sf_dir)
 
 
 @query("surprisal_features", oracle=surprisal.sql_surprisal_features())
