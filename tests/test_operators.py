@@ -320,3 +320,23 @@ def test_check_als_backward_scan(spark):
     assert by_doc[3].als_conn_type == "COMPARATIEF" and by_doc[3].partner_word_idx is None
     assert by_doc[4].als_conn_type == "CAUSAAL"
     assert by_doc[5].als_conn_type == "CAUSAAL"
+
+
+def test_doc_ratios_match_oracle(spark, oracle):
+    df = QUERIES["tscan_doc_ratios"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["tscan_doc_ratios"])
+
+
+def test_word_freq_log_corr_semantics(spark):
+    """tscan.cxx:1786-1798: compounds take the HEAD's frequency as the
+    corrected log-frequency; non-compounds keep their own."""
+    from tscan_spark import pipeline_ratios
+
+    tok = pipeline_ratios._word_grain(spark, SF_DIR)
+    comp = tok.where(F.col("is_compound") == 1).limit(5).collect()
+    assert comp, "expected compounds in the corpus"
+    for r in comp:
+        assert r.word_freq_log_corr == r.head_freq_log
+    plain = tok.where(F.col("is_compound") == 0).limit(5).collect()
+    for r in plain:
+        assert r.word_freq_log_corr == round(r.wf_freq_log, 6)

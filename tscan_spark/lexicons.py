@@ -49,6 +49,10 @@ def word_freq(documents: DataFrame) -> DataFrame:
         freq_log("wf_count", F.sum("wf_count").over(w_all).cast("double")).alias(
             "wf_freq_log"
         ),
+        # corpus total, carried on the dim so downstream freq-log of
+        # lexicon-missing keys (compound heads, tscan.cxx:1786-1798)
+        # needs no second corpus scan
+        F.sum("wf_count").over(w_all).cast("double").alias("wf_total"),
     )
 
 
@@ -72,7 +76,8 @@ wfreq AS (
     SELECT word,
            COUNT(*) AS wf_count,
            ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS wf_rank,
-           {sql_freq_log("COUNT(*)", "(SELECT COUNT(*) FROM tok)")} AS wf_freq_log
+           {sql_freq_log("COUNT(*)", "(SELECT COUNT(*) FROM tok)")} AS wf_freq_log,
+           CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) AS wf_total
     FROM tok
     GROUP BY word
 ),

@@ -426,6 +426,22 @@ def q_doc_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic fan-out + compound freq block + D5 densities (A1/D5 widen)
+# ---------------------------------------------------------------------------
+
+from tscan_spark import pipeline_ratios  # noqa: E402
+
+
+@query("tscan_doc_ratios", oracle=pipeline_ratios.sql_doc_ratios())
+def q_doc_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-type fan-out (broad+strict per class, tscan.cxx:
+    2402-2606), compound head/sat frequency block incl.
+    word_freq_log_corr (tscan.cxx:1786-1798), and 16 per-1000-word
+    densities with NA-on-zero semantics (structstats.cxx ratio style)."""
+    return pipeline_ratios.doc_ratios(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Relational fundamentals over the star schema (§2.9 + broadcast joins)
 # ---------------------------------------------------------------------------
 
