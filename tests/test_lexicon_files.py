@@ -1,0 +1,66 @@
+"""S7 lexicon file-loader semantics (fill_freqlex / fill_topvals,
+/root/reference/src/tscan.cxx:445-534)."""
+
+from tscan_spark.sources.lexicon_files import parse_freqlex, parse_topvals
+
+
+def test_freqlex_singleton_truncation():
+    """Loading STOPS at the first count==1 row — the tail is dropped
+    even if later rows have count > 1 (tscan.cxx:463-466)."""
+    tsv = [
+        "de\t100\tx\t10.0",
+        "het\t50\tx\t25.0",
+        "zeldzaam\t1\tx\t99.0",
+        "nooit\t40\tx\t99.9",  # after the singleton: must NOT load
+    ]
+    rows, total = parse_freqlex(tsv)
+    assert [r[0] for r in rows] == ["de", "het"]
+    assert total == 150
+
+
+def test_freqlex_freq_clip():
+    """freq_clip > 0 stops at the first cum_freq above the clip
+    (tscan.cxx:467-471)."""
+    tsv = [
+        "de\t100\tx\t10.0",
+        "het\t50\tx\t25.0",
+        "een\t30\tx\t80.0",
+        "dat\t20\tx\t90.0",
+    ]
+    rows, total = parse_freqlex(tsv, freq_clip=50.0)
+    assert [r[0] for r in rows] == ["de", "het"]
+    assert total == 150
+
+
+def test_freqlex_skips_malformed_and_blank():
+    tsv = ["", "bad line", "de\t100\tx\t10.0", "  "]
+    rows, total = parse_freqlex(tsv)
+    assert rows == [("de", 100, 10.0)] and total == 100
+
+
+def test_topvals_line_number_bands():
+    """Band = 1-based line number thresholds (tscan.cxx:497-516)."""
+    tsv = [f"w{i}\t{i}\tx\ty" for i in range(1, 12001)]
+    rows = parse_topvals(tsv)
+    bands = dict(rows)
+    assert bands["w1"] == "top1000"
+    assert bands["w1000"] == "top1000"
+    assert bands["w1001"] == "top2000"
+    assert bands["w2500"] == "top3000"
+    assert bands["w4000"] == "top5000"
+    assert bands["w9999"] == "top10000"
+    assert bands["w12000"] == "top20000"
+
+
+def test_load_freqlex_dataframe(spark):
+    from tscan_spark.sources.lexicon_files import load_freqlex
+
+    df = load_freqlex(
+        spark, "de\t100\tx\t10.0\nhet\t50\tx\t25.0\nx\t1\tx\t99.0\n", is_text=True
+    )
+    rows = {r.word: r for r in df.collect()}
+    assert set(rows) == {"de", "het"}
+    # freq_log derived from the TRUNCATED total (150), not the file total
+    import math
+
+    assert abs(rows["de"].freq_log - math.log10(101 / 150 * 1e9)) < 1e-9
