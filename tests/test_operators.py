@@ -340,3 +340,23 @@ def test_word_freq_log_corr_semantics(spark):
     plain = tok.where(F.col("is_compound") == 0).limit(5).collect()
     for r in plain:
         assert r.word_freq_log_corr == round(r.wf_freq_log, 6)
+
+
+def test_parse_cache_join_matches_oracle(spark, oracle):
+    df = QUERIES["parse_cache_join"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["parse_cache_join"])
+
+
+def test_parse_cache_write_back_idempotent(spark, tmp_path):
+    """S11: first write-back persists every miss; the second run finds
+    zero (incremental materialization is idempotent)."""
+    from tscan_spark.operators import parse
+
+    cache = str(tmp_path / "parse_cache")
+    n1 = parse.write_back_misses(spark, SF_DIR, cache)
+    assert n1 > 0
+    n2 = parse.write_back_misses(spark, SF_DIR, cache)
+    assert n2 == 0
+    # cache now covers every sentence exactly once
+    total = parse.sentence_parse_stats(spark, SF_DIR).count()
+    assert spark.read.parquet(cache).count() == total

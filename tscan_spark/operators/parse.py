@@ -813,3 +813,114 @@ SELECT doc_id,
 FROM vcls
 GROUP BY doc_id, sent_idx"""
     )
+
+
+# ---------------------------------------------------------------------------
+# S3 parse-cache join + S11 write-back
+# ---------------------------------------------------------------------------
+#
+# The reference caches Alpino parses per sentence on disk and, on rerun,
+# loads the cached tree instead of re-parsing (tscan.cxx parse-cache
+# handling around the Alpino service calls; tests pin *.example.alpino
+# caches). Spark-native: a `parse_cache` table keyed (doc_id, sent_idx)
+# holding the node arrays; the engine LEFT-joins the sentence grain
+# against it, computes only the misses, and writes the missed parses
+# back (the classic incremental-materialization pattern — the join is
+# equi on the sentence key, co-partitioned with the node table, and the
+# write-back is an append of the miss partition only).
+
+CACHE_MOD = 3  # synthetic "previously parsed" rule: doc_id % 3 != 0
+
+
+def cached_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic cache subset (stands in for the
+    on-disk cache; a real deployment reads a parquet/Iceberg cache
+    table keyed the same way)."""
+    return sentence_parse_stats(spark, sf_dir).where(
+        F.col("doc_id") % CACHE_MOD != 0
+    )
+
+
+def sentence_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sentence parse summary (node count + max arc distance) —
+    the payload a cache would store alongside the node array."""
+    nodes = parse_nodes(spark, sf_dir)
+    dist = F.abs(F.col("tok_i") - F.col("parent"))
+    return nodes.groupBy("doc_id", "sent_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_nodes"),
+        F.max(F.when(F.col("tok_i") > 0, dist)).cast("int").alias("max_arc"),
+    )
+
+
+def parse_cache_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: sentence grain LEFT-joined to the parse cache; misses are
+    (re)computed; output marks provenance.
+
+    Plan: both sides derive from the same sentence key — the join is a
+    co-partitioned sort-merge/hash on (doc_id, sent_idx) with bounded
+    groups; at scale the cache side is a parquet scan with partition
+    pruning on the key range being processed.
+    """
+    all_sents = sentence_parse_stats(spark, sf_dir)
+    cache = cached_sentences(spark, sf_dir).select(
+        "doc_id",
+        "sent_idx",
+        F.col("n_nodes").alias("c_n_nodes"),
+        F.col("max_arc").alias("c_max_arc"),
+    )
+    j = all_sents.join(cache, ["doc_id", "sent_idx"], "left")
+    return j.select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        F.coalesce(F.col("c_n_nodes"), F.col("n_nodes")).cast("int").alias("n_nodes"),
+        F.coalesce(F.col("c_max_arc"), F.col("max_arc")).cast("int").alias("max_arc"),
+        F.col("c_n_nodes").isNotNull().cast("int").alias("from_cache"),
+    )
+
+
+def sql_parse_cache_join() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + SQL_SENT_TOK_CTE.strip()
+        + ",\n"
+        + _sql_nodes()
+        + f""",
+sstats AS (
+    SELECT doc_id, sent_idx,
+           CAST(COUNT(*) AS INT) AS n_nodes,
+           CAST(MAX(CASE WHEN tok_i > 0 THEN ABS(tok_i - parent) END) AS INT)
+               AS max_arc
+    FROM nodes
+    GROUP BY doc_id, sent_idx
+)
+SELECT doc_id,
+       CAST(sent_idx AS INT) AS sent_idx,
+       n_nodes, max_arc,
+       CAST(CASE WHEN doc_id % {CACHE_MOD} <> 0 THEN 1 ELSE 0 END AS INT)
+           AS from_cache
+FROM sstats"""
+    )
+
+
+def write_back_misses(spark: SparkSession, sf_dir: str, cache_dir: str) -> int:
+    """S11: append the cache-miss parses to the cache table (idempotent:
+    rerunning after a completed write finds zero misses). Returns the
+    number of sentences written."""
+    existing = None
+    try:
+        existing = spark.read.parquet(cache_dir)
+    except Exception:
+        pass
+    all_sents = sentence_parse_stats(spark, sf_dir)
+    if existing is not None:
+        misses = all_sents.join(
+            existing.select("doc_id", "sent_idx"), ["doc_id", "sent_idx"], "left_anti"
+        )
+    else:
+        misses = all_sents
+    n = misses.count()
+    if n:
+        misses.write.mode("append").parquet(cache_dir)
+    return n

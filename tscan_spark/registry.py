@@ -597,6 +597,14 @@ def q_embedded_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse.embedded_clauses(spark, sf_dir)
 
 
+@query("parse_cache_join", oracle=parse.sql_parse_cache_join())
+def q_parse_cache_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: sentence grain LEFT-joined to the parse cache (hits reuse the
+    cached summary, misses recompute) with provenance; the S11
+    write-back of misses is parse.write_back_misses (pytest-covered)."""
+    return parse.parse_cache_join(spark, sf_dir)
+
+
 @query("parse_verb_features", oracle=parse.sql_verb_features())
 def q_verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W29 verb classification (PASSIVE/COPULA/TIME/MODAL/HEAD by lemma
