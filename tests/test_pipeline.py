@@ -71,3 +71,17 @@ def test_docs_tokenized_scalar_witness_matches_array(spark):
         for r in QUERIES["docs_tokenized"](spark, SF_DIR).collect()
     }
     assert arr == scal
+
+
+def test_sentence_features_ext_match_oracle(spark, oracle):
+    from tscan_spark.registry import ORACLES, QUERIES
+
+    df = QUERIES["tscan_sentence_features_ext"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["tscan_sentence_features_ext"])
+
+
+def test_word_csv_match_oracle(spark, oracle):
+    from tscan_spark.registry import ORACLES, QUERIES
+
+    df = QUERIES["tscan_word_csv"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["tscan_word_csv"])

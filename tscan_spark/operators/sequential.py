@@ -61,6 +61,10 @@ MW_LEXICONS: dict[str, list[str]] = {
     "mw_conn": ["value vector", "window value vector", "the table"],
     "mw_intens": ["big fast", "fast big", "small slow"],
     "mw_prep": ["the key", "a key order", "order sort", "a key order sort"],
+    # M7 long negations ("niet meer", "nooit ofte nimmer" analogs,
+    # checkPropNeg multi-word arm src/wordstats.cxx:269-286): each hit
+    # is a dedicated propNeg increment at sentence grain
+    "mw_neg": ["slow dup", "dup slow", "slow slow dup"],
 }
 # M2: the reference's MAX_PHRASE_LEN is 4 (multi-word situations scan
 # 4-grams first, sentstats.cxx:430-537); longest-match order means a

@@ -299,3 +299,190 @@ SELECT agg.*,
        {dens_sql}
 FROM agg"""
     )
+
+
+# ---------------------------------------------------------------------------
+# A1 widen: extended sentence-grain counter battery
+# ---------------------------------------------------------------------------
+
+SENT_EXT_FLAGS = [
+    ("morph_neg", "is_morph_neg"),
+    ("pers_ref", "is_pers_ref"),
+    ("nominal", "is_nominal"),
+    ("compound", "is_compound"),
+    ("intens", "is_intens"),
+    ("formal", "is_formal"),
+    ("unfound", "sem_unfound"),
+]
+
+
+def sentence_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended A1 sentence fold: the classifier battery summed at
+    (doc, par, sent) grain — the reference's per-sentence counter block
+    (sentStats merge, tscan.cxx:2126-2865) for the extended families:
+    morphological negation, personal references, nominalizations,
+    compounds, intensifiers, formal words, unfound nouns, adverb types,
+    verb forms, abbreviation domains, per-class connectives/situations,
+    per-class semantic types (broad + strict)."""
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = annotate.annotate_extended(annotate.annotate(corpus.tokens_long(documents)))
+    tag, sem = F.col("tag"), F.col("noun_sem")
+    cnt = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+    aggs = [F.count(F.lit(1)).cast("long").alias("word_cnt")]
+    aggs += [F.sum(flag).cast("long").alias(f"{name}_cnt") for name, flag in SENT_EXT_FLAGS]
+    aggs += [
+        cnt(F.col("adverb_type") == "MANNER", "manner_adv_cnt"),
+        cnt(F.col("adverb_type") == "GENERAL", "general_adv_cnt"),
+        cnt(F.col("verb_form") == "pv", "pv_cnt"),
+        cnt(F.col("verb_form") == "inf", "inf_cnt"),
+        cnt(F.col("afk_domain").isNotNull(), "afk_cnt"),
+    ]
+    for c in CONN_CLASSES:
+        aggs.append(cnt(F.col("conn_type") == c, f"conn_{c.lower()}_cnt"))
+    for c in SIT_CLASSES:
+        aggs.append(cnt(F.col("sit_type") == c, f"sit_{c.lower()}_cnt"))
+    for c in SEM_CLASSES:
+        aggs.append(cnt(sem == c, f"sem_{c.lower()}_cnt"))
+        aggs.append(cnt((sem == c) & (tag == "N"), f"sem_{c.lower()}_strict_cnt"))
+    return tok.groupBy("doc_id", "par_idx", "sent_idx").agg(*aggs)
+
+
+def sql_sentence_features_ext() -> str:
+    lines = ["CAST(COUNT(*) AS BIGINT) AS word_cnt"]
+    lines += [
+        f"CAST(SUM({flag}) AS BIGINT) AS {name}_cnt" for name, flag in SENT_EXT_FLAGS
+    ]
+    lines += [
+        "CAST(SUM(CASE WHEN adverb_type = 'MANNER' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS manner_adv_cnt",
+        "CAST(SUM(CASE WHEN adverb_type = 'GENERAL' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS general_adv_cnt",
+        "CAST(SUM(CASE WHEN verb_form = 'pv' THEN 1 ELSE 0 END) AS BIGINT) AS pv_cnt",
+        "CAST(SUM(CASE WHEN verb_form = 'inf' THEN 1 ELSE 0 END) AS BIGINT) AS inf_cnt",
+        "CAST(SUM(CASE WHEN afk_domain IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS afk_cnt",
+    ]
+    for c in CONN_CLASSES:
+        lines.append(
+            f"CAST(SUM(CASE WHEN conn_type = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS conn_{c.lower()}_cnt"
+        )
+    for c in SIT_CLASSES:
+        lines.append(
+            f"CAST(SUM(CASE WHEN sit_type = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS sit_{c.lower()}_cnt"
+        )
+    for c in SEM_CLASSES:
+        lines.append(
+            f"CAST(SUM(CASE WHEN noun_sem = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS sem_{c.lower()}_cnt"
+        )
+        lines.append(
+            f"CAST(SUM(CASE WHEN noun_sem = '{c}' AND tag = 'N' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS sem_{c.lower()}_strict_cnt"
+        )
+    lines_sql = ",\n           ".join(lines)
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + annotate.sql_annot_cte().strip()
+        + ",\n"
+        + annotate.sql_annot_ext_cte().strip()
+        + f"""
+SELECT doc_id, par_idx, sent_idx,
+           {lines_sql}
+FROM annot_ext
+GROUP BY doc_id, par_idx, sent_idx"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6: the full word-grain CSV vector (wordStats::toCSV analog)
+# ---------------------------------------------------------------------------
+
+
+def word_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-grain output vector (wordStats::toCSV,
+    /root/reference/src/wordstats.cxx:396-682): every per-word
+    classifier + frequency/band feature in one row per token — the S9
+    word-level CSV sink shape."""
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = annotate.annotate_extended(annotate.annotate(corpus.tokens_long(documents)))
+    wf = lexicons.with_staph_bands(
+        lexicons.with_band_flags(lexicons.word_freq(documents))
+    )
+    tok = tok.join(F.broadcast(wf), "word", "left")
+    return tok.select(
+        "doc_id",
+        "par_idx",
+        "sent_idx",
+        "word_idx",
+        "word",
+        "l_word",
+        "lemma",
+        "tag",
+        F.col("char_cnt").cast("int").alias("char_cnt"),
+        *[F.col(c).cast("int").alias(c) for c in [
+            "is_content", "is_content_strict", "is_neg", "is_morph_neg",
+            "is_stop", "is_intens", "is_formal", "is_nominal", "is_compound",
+            "is_pers_ref", "sem_unfound",
+        ]],
+        "comp_head",
+        F.col("comp_head_len").cast("int").alias("comp_head_len"),
+        "noun_sem",
+        "adverb_type",
+        "afk_domain",
+        "conn_type",
+        "sit_type",
+        "verb_form",
+        F.col("pron_person").cast("int").alias("pron_person"),
+        "adj_pos",
+        F.round("wf_freq_log", 6).alias("word_freq_log"),
+        F.col("wf_rank").cast("int").alias("word_freq_rank"),
+        *[F.col(f"is_{b}").cast("int").alias(f"is_{b}") for b, _ in lexicons.BANDS],
+        *[F.col(f"is_{b}").cast("int").alias(f"is_{b}") for b, _ in lexicons.STAPH_BANDS],
+    )
+
+
+def sql_word_csv() -> str:
+    flag_cols = ", ".join(
+        [
+            "is_content", "is_content_strict", "is_neg", "is_morph_neg",
+            "is_stop", "is_intens", "is_formal", "is_nominal", "is_compound",
+            "is_pers_ref", "sem_unfound",
+        ]
+    )
+    band_cols = ", ".join(
+        [f"is_{b}" for b, _ in lexicons.BANDS] + [f"is_{b}" for b, _ in lexicons.STAPH_BANDS]
+    )
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + annotate.sql_annot_cte().strip()
+        + ",\n"
+        + annotate.sql_annot_ext_cte().strip()
+        + ",\n"
+        + lexicons.sql_word_freq_cte().strip()
+        + ",\n"
+        + lexicons.sql_staph_cte().strip()
+        + f""",
+stb AS (
+    SELECT s.word, s.wf_freq_log, s.wf_rank,
+           {", ".join(f"b.is_{b}" for b, _ in lexicons.BANDS)},
+           {", ".join(f"s.is_{b}" for b, _ in lexicons.STAPH_BANDS)}
+    FROM staph_b s JOIN wfreq_b b USING (word)
+)
+SELECT a.doc_id, a.par_idx, a.sent_idx, a.word_idx, a.word, a.l_word, a.lemma,
+       a.tag, CAST(a.char_cnt AS INT) AS char_cnt,
+       {flag_cols},
+       a.comp_head, CAST(a.comp_head_len AS INT) AS comp_head_len,
+       a.noun_sem, a.adverb_type, a.afk_domain, a.conn_type, a.sit_type,
+       a.verb_form, CAST(a.pron_person AS INT) AS pron_person, a.adj_pos,
+       ROUND(w.wf_freq_log, 6) AS word_freq_log,
+       CAST(w.wf_rank AS INT) AS word_freq_rank,
+       {band_cols}
+FROM annot_ext a
+LEFT JOIN stb w USING (word)"""
+    )

@@ -441,6 +441,25 @@ def q_doc_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline_ratios.doc_ratios(spark, sf_dir)
 
 
+@query(
+    "tscan_sentence_features_ext", oracle=pipeline_ratios.sql_sentence_features_ext()
+)
+def q_sentence_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 widen: the extended classifier battery summed at sentence
+    grain (~30 counters: morph neg, pers refs, nominalizations,
+    compounds, adverb types, verb forms, abbreviations, conn/sit/sem
+    classes broad+strict)."""
+    return pipeline_ratios.sentence_features_ext(spark, sf_dir)
+
+
+@query("tscan_word_csv", oracle=pipeline_ratios.sql_word_csv())
+def q_word_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/S9: the full word-grain CSV vector (wordStats::toCSV,
+    wordstats.cxx:396-682) — every classifier + frequency/band feature,
+    one row per token."""
+    return pipeline_ratios.word_csv(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Relational fundamentals over the star schema (§2.9 + broadcast joins)
 # ---------------------------------------------------------------------------
