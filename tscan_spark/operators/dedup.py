@@ -120,25 +120,37 @@ sh AS (
 
 
 def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs against the FULL shingle sets."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    """Exact Jaccard for candidate pairs against the FULL shingle sets.
+
+    Physical strategy: each doc's (distinct) shingle set is collected
+    ONCE into a sorted array — bounded by document length — and the
+    candidate pairs pick up both arrays by two equi-joins on the doc
+    key; ``array_intersect`` then computes the exact overlap inside
+    codegen. This avoids the candidate x shingle row blowup of the
+    naive plan (|cand| * |shingles per doc| intermediate rows — 59M at
+    sf0.1, the round-2 profiling hotspot); volume stays |cand| rows.
+    """
+    # arrays of 64-bit shingle hashes, not strings: the join output
+    # materializes each doc's array once per candidate appearance, so
+    # element width dominates; xxhash64 ids are engine-internal only
+    # (the emitted jaccard is over set sizes, identical unless two of a
+    # doc's shingles collide in 64 bits)
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("arr")
     )
-    j = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("n_sh", "n_b")
+    j = cand.join(
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")),
+        "doc_a",
+    ).join(
+        arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")),
+        "doc_b",
     )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = n_common / (F.size("arr_a") + F.size("arr_b") - n_common)
     return j.select(
         "doc_a",
         "doc_b",
-        F.col("n_common").cast("long").alias("n_common"),
+        n_common.cast("long").alias("n_common"),
         F.round(jac, 6).alias("jaccard"),
     )
 
@@ -151,26 +163,82 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard.
 
-    Candidate generation = inverted-index self-join on shingle, with
-    posting lists longer than SHINGLE_DF_CAP dropped (a shingle shared
-    by k docs contributes k^2/2 candidate rows — uncapped, one frequent
-    shingle is quadratic at corpus scale). Verification uses the full
-    shingle sets, so every emitted Jaccard is exact.
+    Light/heavy posting-list split (standard pruning, made EXACT):
+
+    - shingles in <= SHINGLE_DF_CAP docs ("light") drive candidate
+      generation AND their pair-common counts in ONE self-join +
+      groupBy — no separate verification pass over the full sets (the
+      round-2 profiling hotspot: candidate x shingle-set joins
+      materialized 59M intermediate rows);
+    - shingles in > cap docs ("heavy") are few by construction; each
+      doc's heavy memberships form a SHORT array (<= |heavy|), joined
+      onto the candidate pairs and intersected in codegen — the exact
+      correction the usual prune silently drops.
+
+    A pair sharing only heavy shingles is not a candidate (one
+    stop-shingle shared by k docs would otherwise cost k^2/2 rows — the
+    quadratic corpus-scale killer); every EMITTED jaccard is exact over
+    the full sets.
     """
     d = _docs(spark, sf_dir)
-    sh = shingles(d).persist()
-    dfreq = Window.partitionBy("shingle")
-    idx = sh.withColumn("_df", F.count(F.lit(1)).over(dfreq)).where(
-        F.col("_df") <= SHINGLE_DF_CAP
+    # all set algebra runs on 64-bit shingle ids: narrow join keys and
+    # shuffle rows instead of ~30-char strings (ids are engine-internal;
+    # a cross-shingle collision would need ~2^32 distinct shingles)
+    sh = (
+        shingles(d)
+        .select("doc_id", F.xxhash64("shingle").alias("sid"))
+        .persist()
     )
-    a, b = idx.alias("a"), idx.alias("b")
-    cand = (
-        a.join(b, "shingle")
+    df_dim = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("_df"))
+    heavy = df_dim.where(F.col("_df") > SHINGLE_DF_CAP).select("sid")
+    light = sh.join(F.broadcast(heavy), "sid", "left_anti")
+    a, b = light.alias("a"), light.alias("b")
+    common_light = (
+        a.join(b, "sid")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_light"))
     )
-    return _verified_jaccard(cand, sh).where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    heavy_arrs = (
+        sh.join(F.broadcast(heavy), "sid")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("sid")).alias("harr"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # doc-grain dim (sizes + heavy membership): deliberately NOT
+    # hint-broadcast — it is doc-count-sized, so at corpus scale this
+    # must be a shuffle join on the doc key; AQE converts it to a
+    # runtime broadcast when the aggregate is actually small (it is
+    # here and in any single-node run)
+    doc_dim = sizes.join(heavy_arrs, "doc_id", "left")
+    j = common_light.join(
+        doc_dim.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_sh").alias("n_a"),
+            F.col("harr").alias("harr_a"),
+        ),
+        "doc_a",
+    ).join(
+        doc_dim.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_sh").alias("n_b"),
+            F.col("harr").alias("harr_b"),
+        ),
+        "doc_b",
+    )
+    n_heavy = F.when(
+        F.col("harr_a").isNotNull() & F.col("harr_b").isNotNull(),
+        F.size(F.array_intersect("harr_a", "harr_b")),
+    ).otherwise(F.lit(0))
+    n_common = F.col("n_light") + n_heavy
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        n_common.cast("long").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+    return out.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def sql_ngram_jaccard() -> str:
