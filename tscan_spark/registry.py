@@ -281,6 +281,14 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(spark, sf_dir)
 
 
+@query("similarity_multiprobe_topk", oracle=similarity.sql_multiprobe_topk())
+def q_sim_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe hyperplane-LSH ANN (8 planes = 256 buckets, Hamming-1
+    probe fan-out on the query side only, exact cosine rerank) — the
+    production ANN shape; pair space ~28x smaller than all-pairs."""
+    return similarity.multiprobe_topk(spark, sf_dir)
+
+
 @query("lang_id", oracle=textstats.sql_lang_id())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-voting language identification."""
