@@ -14,8 +14,8 @@ def main() -> None:
 
     spark = get_spark(app_name="audit_plans", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    from tscan_spark import corpus, pipeline
-    from tscan_spark.operators import asof, similarity
+    from tscan_spark import corpus, pipeline, pipeline_ratios
+    from tscan_spark.operators import asof, dedup, ner, similarity
 
     sections = {
         "pushdown/pruning": corpus.load(spark, sf, "documents")
@@ -25,6 +25,10 @@ def main() -> None:
         "doc_features": pipeline.doc_features(spark, sf),
         "asof_broadcast": asof.asof_doc_features(spark, sf, strategy="broadcast"),
         "similarity_bruteforce": similarity.brute_force_topk(spark, sf),
+        "ner_interval_join": ner.token_ner(spark, sf),
+        "doc_ratios": pipeline_ratios.doc_ratios(spark, sf),
+        "ngram_jaccard": dedup.ngram_jaccard_pairs(spark, sf),
+        "multiprobe_ann": similarity.multiprobe_topk(spark, sf),
     }
     for name, df in sections.items():
         print(f"\n{'=' * 70}\n== {name}\n{'=' * 70}")
