@@ -100,3 +100,59 @@ def test_checkpoint_resume(spark, tmp_path):
     assert len(lineage) == checkpoint.DEFAULT_BUCKETS
     assert sum(r["rows"] for r in lineage) == df.count()
     shutil.rmtree(out)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState carries per-source state across
+    micro-batches: with maxFilesPerTrigger=1 each file is its own
+    batch, and the final emitted totals equal the global batch truth."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tscan_spark import corpus
+    from tscan_spark.streaming import stream
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src, exist_ok=True)
+    docs = corpus.load(spark, SF_DIR, "documents").limit(60)
+    # three files -> three micro-batches
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = stream.streaming_running_totals(spark, src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM running_totals"
+    ).collect()
+    # the LAST row per source carries the running totals; compare the
+    # max per source against the batch ground truth
+    got = {}
+    for r in rows:
+        cur = got.get(r.source)
+        if cur is None or r.doc_cnt > cur[0]:
+            got[r.source] = (r.doc_cnt, r.tok_cnt, r.vocab_size)
+    tok = corpus.tokens_long(docs)
+    exp = {
+        r.source: (r.d, r.t, r.v)
+        for r in tok.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("d"),
+            F.count(F.lit(1)).alias("t"),
+            F.countDistinct("word").alias("v"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # and state genuinely accumulated across >1 micro-batch
+    assert len(rows) > len(exp)

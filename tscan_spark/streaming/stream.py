@@ -28,10 +28,18 @@ from pyspark.sql import functions as F
 from tscan_spark import annotate, corpus
 
 
-def stream_documents(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source document stream (one parquet file per micro-batch add)."""
     schema = schema or "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    return spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def doc_feature_transform(documents: DataFrame) -> DataFrame:
@@ -95,3 +103,56 @@ def run_available_now(df: DataFrame, query_name: str) -> list:
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def streaming_running_totals(spark: SparkSession, path: str) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (the north-rule shape session_window cannot express): per-source
+    running document count, token total, and running distinct-vocabulary
+    size, carried across micro-batches in group state.
+
+    State per source = (doc_cnt, tok_cnt, sorted vocab list); each
+    micro-batch folds its documents in and emits the updated running
+    totals (output mode "update": the latest row per source is the
+    current truth). At scale, state is partitioned by the group key —
+    per-source state size is bounded by the vocabulary, exactly like the
+    reference's in-RAM lexicon maps.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # one file per micro-batch so state transitions are exercised even
+    # under an availableNow drain
+    docs = stream_documents(spark, path, max_files_per_trigger=1)
+
+    def update(key, pdfs, state: GroupState):
+        (source,) = key
+        if state.exists:
+            doc_cnt, tok_cnt, vocab = state.get
+            seen = set(vocab)
+        else:
+            doc_cnt, tok_cnt, seen = 0, 0, set()
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                words = [w for w in text.split(" ") if w]
+                doc_cnt += 1
+                tok_cnt += len(words)
+                seen.update(words)
+        state.update((doc_cnt, tok_cnt, sorted(seen)))
+        yield pd.DataFrame(
+            {
+                "source": [source],
+                "doc_cnt": [doc_cnt],
+                "tok_cnt": [tok_cnt],
+                "vocab_size": [len(seen)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, doc_cnt long, tok_cnt long, vocab_size long",
+        stateStructType="doc_cnt long, tok_cnt long, vocab array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
