@@ -64,3 +64,25 @@ def test_load_freqlex_dataframe(spark):
     import math
 
     assert abs(rows["de"].freq_log - math.log10(101 / 150 * 1e9)) < 1e-9
+
+
+def test_parse_prevalences():
+    from tscan_spark.sources.lexicon_files import parse_prevalences
+
+    lines = [
+        "# comment",
+        "",
+        "hond x 99.5 1.25 a b",
+        "malformed line",
+        "kat x 88.0 -0.5 a b",
+    ]
+    rows = parse_prevalences(lines)
+    assert rows == [("hond", 99.5, 1.25), ("kat", 88.0, -0.5)]
+
+
+def test_prevalence_features_match_oracle(spark, oracle):
+    from tscan_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = QUERIES["prevalence_features"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["prevalence_features"])

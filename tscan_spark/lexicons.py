@@ -125,3 +125,53 @@ staph_b AS (
            {band_cols}
     FROM staph
 )"""
+
+
+# ---------------------------------------------------------------------------
+# W21/A8 prevalence lexicon (fill_prevalences, tscan.cxx:707-742)
+# ---------------------------------------------------------------------------
+#
+# The reference looks each lemma up in a prevalence file (percentage of
+# the population knowing the word + z-score) and averages both over the
+# covered words per struct. Synthetic dim: deterministic values from the
+# lemma's content hash, with ~1/4 of lemmas deliberately ABSENT so the
+# not-covered path is exercised (the reference skips unknown lemmas).
+
+def prevalence_dim(documents: DataFrame) -> DataFrame:
+    from tscan_spark import annotate
+    from tscan_spark.corpus import content_hash_expr
+
+    lemmas = (
+        tokens_long(documents)
+        .select(annotate.lemma_expr(F.col("word")).alias("lemma"))
+        .distinct()
+    )
+    h = content_hash_expr("lemma")
+    return (
+        lemmas.withColumn("_h", h)
+        .where(F.col("_h") % 4 != 0)
+        .select(
+            "lemma",
+            F.round((F.col("_h") % 101).cast("double"), 6).alias("prev_pct"),
+            F.round(((F.col("_h") % 500) - 250) / 100.0, 6).alias("prev_z"),
+        )
+    )
+
+
+def sql_prevalence_cte() -> str:
+    from tscan_spark import annotate
+    from tscan_spark.corpus import sql_content_hash
+
+    h = sql_content_hash("lemma")
+    return f"""
+prev AS (
+    SELECT lemma,
+           ROUND(CAST(h % 101 AS DOUBLE), 6) AS prev_pct,
+           ROUND((h % 500 - 250) / 100.0, 6) AS prev_z
+    FROM (
+        SELECT DISTINCT {annotate.sql_lemma("word")} AS lemma, NULL AS _x
+        FROM tok
+    ) l
+    CROSS JOIN LATERAL (SELECT {h} AS h) hh
+    WHERE h % 4 <> 0
+)"""

@@ -331,6 +331,48 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W21/A8 prevalence battery (fill_prevalences tscan.cxx:707-742)
+# ---------------------------------------------------------------------------
+
+from tscan_spark import lexicons as _lexicons  # noqa: E402
+from tscan_spark.functions.scalars import fp_mean as _fp_mean  # noqa: E402
+from tscan_spark.functions.scalars import sql_fp_mean as _sql_fp_mean  # noqa: E402
+
+
+@query(
+    "prevalence_features",
+    oracle=(
+        _ANNOT_PRELUDE
+        + ",\n"
+        + __import__("tscan_spark.lexicons", fromlist=["x"]).sql_prevalence_cte().strip()
+        + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS word_cnt,
+       CAST(COUNT(prev_pct) AS BIGINT) AS covered_cnt,
+       {_sql_fp_mean("prev_pct", "COUNT(prev_pct)")} AS prevalence_p,
+       {_sql_fp_mean("prev_z", "COUNT(prev_pct)")} AS prevalence_z
+FROM annot LEFT JOIN prev USING (lemma)
+GROUP BY doc_id"""
+    ),
+)
+def q_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21/A8: lemma prevalence lookup (percentage + z-score) with mean
+    over the COVERED words only (unknown lemmas skipped, as in the
+    reference's prevalenceP/prevalenceZ), at doc grain."""
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = annotate.annotate(corpus.tokens_long(documents))
+    dim = _lexicons.prevalence_dim(documents)
+    j = tok.join(F.broadcast(dim), "lemma", "left")
+    covered = F.count("prev_pct")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("word_cnt"),
+        covered.cast("long").alias("covered_cnt"),
+        _fp_mean("prev_pct", covered).alias("prevalence_p"),
+        _fp_mean("prev_z", covered).alias("prevalence_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S10 problems.log side output (checkNoun tscan.cxx:1385-1393)
 # ---------------------------------------------------------------------------
 

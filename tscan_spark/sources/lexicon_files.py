@@ -119,3 +119,19 @@ def load_topvals(spark: SparkSession, path_or_text: str, is_text: bool = False) 
     with lines:
         rows = parse_topvals(lines)
     return spark.createDataFrame(rows, schema="word string, band string")
+
+
+def parse_prevalences(lines) -> list[tuple[str, float, float]]:
+    """fill_prevalences (tscan.cxx:707-742): 6-column whitespace rows;
+    '#' comments and malformed lines skipped; percentage/zscore from
+    columns 3 and 4 keyed by the lemma in column 1."""
+    out: list[tuple[str, float, float]] = []
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) != 6:
+            continue
+        out.append((parts[0], float(parts[2]), float(parts[3])))
+    return out
