@@ -85,3 +85,12 @@ def test_word_csv_match_oracle(spark, oracle):
 
     df = QUERIES["tscan_word_csv"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["tscan_word_csv"])
+
+
+def test_doc_profile_match_oracle(spark, oracle):
+    from tscan_spark.registry import ORACLES, QUERIES
+
+    df = QUERIES["tscan_doc_profile"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["tscan_doc_profile"])
+    # the profile is genuinely wide (structstats-style single row per doc)
+    assert len(df.columns) > 120

@@ -727,3 +727,125 @@ def q_staph_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Flagship unified document profile (the reference's wide document.csv)
+# ---------------------------------------------------------------------------
+#
+# structStats::toCSV emits ONE wide row per document (structstats.cxx:
+# 89-121); this joins every doc-grain battery into that shape. Each
+# side is an independent aggregate of the same token grain, so the plan
+# is N parallel aggregation subtrees converging in doc_id equi-joins
+# (AQE broadcasts the smaller sides at bench scale; co-partitioned
+# shuffle joins at corpus scale).
+
+_PROFILE_PARTS: list[tuple[str, list[str]]] = [
+    # (query name, columns dropped to keep the join collision-free)
+    ("tscan_doc_features", []),
+    ("tscan_doc_features_ext", ["word_cnt", "sent_cnt"]),
+    (
+        "tscan_doc_ratios",
+        [
+            "word_cnt", "neg_cnt", "intens_cnt", "formal_cnt",
+            "conn_causaal_cnt", "conn_temporeel_cnt", "conn_contrastief_cnt",
+            "conn_comparatief_cnt", "conn_opsommend_wg_cnt",
+            "sit_time_cnt", "sit_space_cnt", "sit_emotion_cnt", "sit_cause_cnt",
+            "morph_neg_cnt", "pers_ref_cnt", "nominal_cnt", "compound_cnt",
+            "sem_concrete_cnt", "sem_abstract_cnt", "sem_human_cnt",
+            "morph_neg_d", "pers_ref_d", "nominal_d", "neg_d",
+        ],
+    ),
+    ("parse_doc_summary", ["sent_cnt"]),
+    ("ner_features", ["word_cnt"]),
+    ("np_chunk_features", []),
+    ("prevalence_features", ["word_cnt"]),
+]
+
+
+def _sql_doc_profile() -> str:
+    selects = ["b0.*"]
+    froms = [f"({ORACLES[_PROFILE_PARTS[0][0]]}\n) b0"]
+    for i, (name, drops) in enumerate(_PROFILE_PARTS[1:], start=1):
+        froms.append(f"JOIN ({ORACLES[name]}\n) b{i} USING (doc_id)")
+        # explicit keep list rendered lazily at runtime by the builder
+        selects.append(f"__COLS_{i}__")
+    return "SELECT " + ",\n       ".join(selects) + "\nFROM " + "\n".join(froms)
+
+
+def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, drops in _PROFILE_PARTS:
+        part = QUERIES[name](spark, sf_dir).drop(*drops)
+        out = part if out is None else out.join(part, "doc_id")
+    return out
+
+
+def _render_profile_oracle(spark_cols_by_part: list[list[str]]) -> str:
+    sql = _sql_doc_profile()
+    for i, cols in enumerate(spark_cols_by_part[1:], start=1):
+        kept = ",\n       ".join(f"b{i}.{c}" for c in cols if c != "doc_id")
+        sql = sql.replace(f"__COLS_{i}__", kept)
+    return sql
+
+
+def _profile_cols() -> list[list[str]]:
+    # drop lists are static, so the kept columns are derivable without a
+    # Spark session: they mirror each part's documented output schema
+    known = {
+        "tscan_doc_features_ext": [
+            "doc_id", "word_cnt", "morph_neg_cnt", "nominal_cnt", "compound_cnt",
+            "pers_ref_cnt", "content_strict_cnt", "comp_char_sum",
+            "uniq_strict_lemmas", "pv_cnt", "inf_cnt", "prenom_cnt", "afk_cnt",
+            "sem_concrete_cnt", "sem_abstract_cnt", "sem_human_cnt",
+            "adv_general_cnt", "adv_manner_cnt", "multi_neg_cnt", "question_cnt",
+            "sent_cnt", "ttr_strict", "morph_neg_d", "nominal_d", "pers_ref_d",
+            "lint_score", "lint_level",
+        ],
+        "tscan_doc_ratios": [
+            "doc_id", "word_cnt", "noun_cnt", "adj_cnt", "verb_cnt", "adverb_cnt",
+            "conj_cnt", "pron_cnt", "sem_concrete_cnt", "sem_concrete_strict_cnt",
+            "sem_abstract_cnt", "sem_abstract_strict_cnt", "sem_human_cnt",
+            "sem_human_strict_cnt", "sem_unfound_cnt", "compound_cnt",
+            "noncomp_noun_cnt", "charcnt_head_mean", "head_freq_log_mean",
+            "sat_freq_log_mean", "head_sat_freq_log_mean", "top1000_head_cnt",
+            "word_freq_log_corr_mean", "word_freq_log_mean", "neg_cnt",
+            "morph_neg_cnt", "pers_ref_cnt", "nominal_cnt", "intens_cnt",
+            "formal_cnt", "conn_causaal_cnt", "conn_temporeel_cnt",
+            "conn_contrastief_cnt", "conn_comparatief_cnt",
+            "conn_opsommend_wg_cnt", "sit_time_cnt", "sit_space_cnt",
+            "sit_emotion_cnt", "sit_cause_cnt", "neg_d", "morph_neg_d",
+            "pers_ref_d", "nominal_d", "compound_d", "intens_d", "formal_d",
+            "conn_causaal_d", "conn_temporeel_d", "conn_contrastief_d",
+            "conn_comparatief_d", "conn_opsommend_wg_d", "sit_time_d",
+            "sit_space_d", "sit_emotion_d", "sit_cause_d",
+        ],
+        "parse_doc_summary": [
+            "doc_id", "sent_cnt", "clause_cnt", "corrected_clause_cnt",
+            "parse_fail_cnt", "node_cnt", "betr_cnt", "bijw_cnt", "compl_cnt",
+            "d_level_avg", "clause_d",
+        ],
+        "ner_features": [
+            "doc_id", "word_cnt", "per_tok_cnt", "loc_tok_cnt", "org_tok_cnt",
+            "eve_tok_cnt", "misc_tok_cnt", "entity_cnt", "avg_ent_len",
+            "pers_ref_ner_cnt",
+        ],
+        "np_chunk_features": [
+            "doc_id", "np_cnt", "np_size_sum", "indef_np_cnt", "avg_np_len",
+        ],
+        "prevalence_features": [
+            "doc_id", "word_cnt", "covered_cnt", "prevalence_p", "prevalence_z",
+        ],
+    }
+    cols = [["doc_id"]]  # base contributes via b0.*
+    for name, drops in _PROFILE_PARTS[1:]:
+        cols.append([c for c in known[name] if c not in drops])
+    return cols
+
+
+@query("tscan_doc_profile", oracle=_render_profile_oracle(_profile_cols()))
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide per-document output vector (structStats::toCSV shape):
+    base counters + extended battery + fan-out/compound/density block +
+    parse summary + NER + NP chunks + prevalence, one row per doc."""
+    return _doc_profile_impl(spark, sf_dir)
