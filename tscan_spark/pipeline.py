@@ -119,8 +119,12 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg-of-sentence-means variant, then the ratio select
     (structstats.cxx:123-1042 analog).
     """
-    # one token-grain computation feeds all four aggregation paths
-    wordf = word_features(spark, sf_dir).persist()
+    # the token grain feeds several aggregation paths; it is NOT
+    # persisted — the grain is a pure codegen projection over the scan
+    # (recompute is one extra scan), and at corpus scale it does not fit
+    # in storage memory anyway; a library-side persist would also leak
+    # cache to the caller (round-1 verdict #10)
+    wordf = word_features(spark, sf_dir)
     sent = _sentence_agg(wordf)
     doc = sent.groupBy("doc_id").agg(
         *[F.sum(c).alias(c) for c in _SENT_SUM_COLS],

@@ -37,24 +37,19 @@ def word_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wordf = word_features_ext(spark, sf_dir).persist()
+    # not persisted: pure codegen projection (cheap recompute), and a
+    # library-side persist leaks cache to the caller (verdict #10)
+    wordf = word_features_ext(spark, sf_dir)
 
-    # sentence grain: multiNeg (D8) + question flag (D9)
-    w_last = Window.partitionBy("doc_id", "sent_idx").orderBy(F.desc("word_idx"))
-    with_last = wordf.withColumn("_rn", F.row_number().over(w_last))
+    # sentence grain: multiNeg (D8) + question flag (D9). The
+    # sentence-final token comes from max_by INSIDE the same aggregate —
+    # no row_number window sort, no extra join (round-1 verdict #9).
     sent = wordf.groupBy("doc_id", "sent_idx").agg(
         F.sum("is_neg").alias("_prop_neg"),
         F.sum("is_morph_neg").alias("_morph_neg"),
+        (F.max_by("word", "word_idx") == QUESTION_WORD).cast("int").alias("_is_q"),
     )
-    last_tok = (
-        with_last.where(F.col("_rn") == 1)
-        .select(
-            "doc_id",
-            "sent_idx",
-            (F.col("word") == QUESTION_WORD).cast("int").alias("_is_q"),
-        )
-    )
-    sent = sent.join(last_tok, ["doc_id", "sent_idx"]).withColumn(
+    sent = sent.withColumn(
         "_multi_neg", ((F.col("_prop_neg") + F.col("_morph_neg")) > 1).cast("int")
     )
     sent_doc = sent.groupBy("doc_id").agg(
