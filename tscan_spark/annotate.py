@@ -135,33 +135,34 @@ def annotate(tok: DataFrame) -> DataFrame:
     fold in as literal maps; the corpus-derived frequency lexicon joins
     later in pipeline.word_features as a broadcast join).
     """
+    # two select stages, not a withColumn chain: every withColumn is a
+    # fresh Project node the analyzer re-resolves over all columns, and
+    # the profile's wide plans made that resolution the dominant cost
     w = F.col("word")
-    out = (
-        tok.withColumn("l_word", F.lower(w))
-        .withColumn("char_cnt", F.length(w))
-        .withColumn("tag", tag_expr(w))
-        .withColumn("lemma", lemma_expr(w))
+    out = tok.select(
+        "*",
+        F.lower(w).alias("l_word"),
+        F.length(w).alias("char_cnt"),
+        tag_expr(w).alias("tag"),
+        lemma_expr(w).alias("lemma"),
     )
-    out = (
-        out.withColumn("is_content", F.col("tag").isin(CONTENT_TAGS).cast("int"))
-        .withColumn("is_neg", F.col("l_word").isin(NEG_WORDS).cast("int"))
-        .withColumn("is_stop", F.col("lemma").isin(STOP_LEMMATA).cast("int"))
-        .withColumn("is_intens", F.col("lemma").isin(INTENSIFIERS).cast("int"))
+    return out.select(
+        "*",
+        F.col("tag").isin(CONTENT_TAGS).cast("int").alias("is_content"),
+        F.col("l_word").isin(NEG_WORDS).cast("int").alias("is_neg"),
+        F.col("lemma").isin(STOP_LEMMATA).cast("int").alias("is_stop"),
+        F.col("lemma").isin(INTENSIFIERS).cast("int").alias("is_intens"),
         # W13 checkFormal (tscan.cxx:1491-1507): findInflected on the
         # lemma (the full_lemma pass has no compound-lemma analog here)
-        .withColumn(
-            "is_formal",
-            inflected_lookup(FORMAL_MAP, F.col("lemma")).isNotNull().cast("int"),
-        )
-    )
-    out = out.withColumn(
-        "conn_type",
+        inflected_lookup(FORMAL_MAP, F.col("lemma")).isNotNull().cast("int").alias(
+            "is_formal"
+        ),
         F.when(
             F.col("tag").isin(CONNECTIVE_TAGS),
             lexicon_map(CONNECTIVES, F.col("lemma")),
-        ),
-    ).withColumn("sit_type", lexicon_map(SITUATIONS, F.col("lemma")))
-    return out
+        ).alias("conn_type"),
+        lexicon_map(SITUATIONS, F.col("lemma")).alias("sit_type"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -273,96 +274,74 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
     synthetic CGN props (W4: verb form for WW, pronoun person for VNW,
     adjective position for ADJ).
     """
-    out = tok_annotated
+    # two select stages (see annotate): stage 1 adds the independent
+    # classifiers, stage 2 the ones depending on stage-1 columns
     w, lem, tag = F.col("word"), F.col("lemma"), F.col("tag")
 
     # W7: prefix morphological negation
     morph_neg = F.lit(False)
     for p in MORPH_NEG_PREFIXES:
         morph_neg = morph_neg | w.startswith(p)
-    out = out.withColumn("is_morph_neg", morph_neg.cast("int"))
 
-    # W10/W11: semantic type via the findInflected cascade — lemma first
-    # (checkNoun tscan.cxx:1342), then the word form (checkAdj
-    # tscan.cxx:1411-1415 tries l_lemma then l_word), each with the
-    # ±e/en/s suffix fallback (utils.h:32-55)
-    out = out.withColumn(
-        "noun_sem",
+    # W24: nominalization — N-tagged with a nominal suffix
+    nominal = F.lit(False)
+    for s in NOMINAL_SUFFIXES:
+        nominal = nominal | w.endswith(s)
+
+    # W25: compound split (head = all but last 3 chars, sat = last 3)
+    is_comp = (tag == "N") & (F.length(w) >= COMPOUND_MIN_LEN)
+
+    out = tok_annotated.select(
+        "*",
+        morph_neg.cast("int").alias("is_morph_neg"),
+        # W10/W11: semantic type via the findInflected cascade — lemma
+        # first (checkNoun tscan.cxx:1342), then the word form (checkAdj
+        # tscan.cxx:1411-1415 tries l_lemma then l_word), each with the
+        # ±e/en/s suffix fallback (utils.h:32-55)
         F.when(
             tag.isin(["N", "ADJ"]),
             F.coalesce(inflected_lookup(NOUN_SEM, lem), inflected_lookup(NOUN_SEM, w)),
+        ).alias("noun_sem"),
+        # W15: adverb type
+        F.when(tag == "BW", lexicon_map(ADVERB_TYPES, w)).alias("adverb_type"),
+        # W16: abbreviation domain (N/SPEC gate like checkAfk)
+        F.when(tag.isin(["N", "SPEC"]), lexicon_map(AFK_DOMAINS, w)).alias("afk_domain"),
+        ((tag == "N") & nominal).cast("int").alias("is_nominal"),
+        is_comp.cast("int").alias("is_compound"),
+        F.when(is_comp, F.substr(w, F.lit(1), F.length(w) - COMPOUND_SAT_LEN)).alias(
+            "comp_head"
         ),
+        F.when(is_comp, F.length(w) - COMPOUND_SAT_LEN).alias("comp_head_len"),
+        # W4: synthetic CGN property decode
+        F.when(
+            tag == "WW", F.when(F.length(w) % 2 == 0, "pv").otherwise("inf")
+        ).alias("verb_form"),
+        F.when(tag == "VNW", (F.length(w) % 3 + 1).cast("int")).alias("pron_person"),
+        F.when(
+            tag == "ADJ",
+            F.when(F.substring(w, 1, 1) <= "p", "prenom").otherwise("vrij"),
+        ).alias("adj_pos"),
     )
-    # UNFOUND_NOUN (checkNoun tscan.cxx:1385-1393): an N-tagged word with
-    # no semantic type — the S10 problems.log trigger
-    out = out.withColumn(
-        "sem_unfound", ((tag == "N") & F.col("noun_sem").isNull()).cast("int")
-    )
-
-    # W15: adverb type; strict content = content minus non-MANNER adverbs
-    out = out.withColumn("adverb_type", F.when(tag == "BW", lexicon_map(ADVERB_TYPES, w)))
-    out = out.withColumn(
-        "is_content_strict",
+    return out.select(
+        "*",
+        # UNFOUND_NOUN (checkNoun tscan.cxx:1385-1393): an N-tagged word
+        # with no semantic type — the S10 problems.log trigger
+        ((tag == "N") & F.col("noun_sem").isNull()).cast("int").alias("sem_unfound"),
+        # strict content = content minus non-MANNER adverbs (W15/W23)
         F.coalesce(
             (
                 (F.col("is_content") == 1)
                 & ((tag != "BW") | (F.col("adverb_type") == "MANNER"))
             ).cast("int"),
             F.lit(0),
-        ),
-    )
-
-    # W16: abbreviation domain (N/SPEC gate like checkAfk)
-    out = out.withColumn(
-        "afk_domain", F.when(tag.isin(["N", "SPEC"]), lexicon_map(AFK_DOMAINS, w))
-    )
-
-    # W24: nominalization — N-tagged with a nominal suffix
-    nominal = F.lit(False)
-    for s in NOMINAL_SUFFIXES:
-        nominal = nominal | w.endswith(s)
-    out = out.withColumn("is_nominal", ((tag == "N") & nominal).cast("int"))
-
-    # W25: compound split (head = all but last 3 chars, sat = last 3)
-    is_comp = (tag == "N") & (F.length(w) >= COMPOUND_MIN_LEN)
-    out = (
-        out.withColumn("is_compound", is_comp.cast("int"))
-        .withColumn(
-            "comp_head",
-            F.when(is_comp, F.substr(w, F.lit(1), F.length(w) - COMPOUND_SAT_LEN)),
-        )
-        .withColumn("comp_head_len", F.when(is_comp, F.length(w) - COMPOUND_SAT_LEN))
-    )
-
-    # W26: personal reference = human noun or pronoun (null-safe: a
-    # NULL noun_sem must yield 0, not NULL — an all-NULL doc would make
-    # the count aggregate NULL instead of 0)
-    out = out.withColumn(
-        "is_pers_ref",
+        ).alias("is_content_strict"),
+        # W26: personal reference = human noun or pronoun (null-safe: a
+        # NULL noun_sem must yield 0, not NULL — an all-NULL doc would
+        # make the count aggregate NULL instead of 0)
         F.coalesce(
             ((F.col("noun_sem") == "HUMAN") | (tag == "VNW")).cast("int"), F.lit(0)
-        ),
+        ).alias("is_pers_ref"),
     )
-
-    # W4: synthetic CGN property decode
-    out = (
-        out.withColumn(
-            "verb_form",
-            F.when(tag == "WW", F.when(F.length(w) % 2 == 0, "pv").otherwise("inf")),
-        )
-        .withColumn(
-            "pron_person",
-            F.when(tag == "VNW", (F.length(w) % 3 + 1).cast("int")),
-        )
-        .withColumn(
-            "adj_pos",
-            F.when(
-                tag == "ADJ",
-                F.when(F.substring(w, 1, 1) <= "p", "prenom").otherwise("vrij"),
-            ),
-        )
-    )
-    return out
 
 
 def sql_annot_ext_cte() -> str:

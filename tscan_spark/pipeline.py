@@ -111,20 +111,28 @@ _SENT_SUM_COLS = [
 ] + [f"{band}_cnt" for band, _ in lexicons.BANDS]
 
 
-def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_features(
+    spark: SparkSession, sf_dir: str, wordf: DataFrame | None = None
+) -> DataFrame:
     """Document-grain feature vector — the flagship query.
 
     Mirrors docStats: flat sums of sentence counters, sentence/paragraph
     counts, exact TTR, rarity, per-grain freq-log means and the
     avg-of-sentence-means variant, then the ratio select
     (structstats.cxx:123-1042 analog).
+
+    ``wordf`` lets a caller (the unified doc profile) pass a prebuilt
+    annotated token grain so several batteries share ONE analyzed
+    subtree instead of each re-deriving it — same values, one Catalyst
+    analysis and one scan lineage instead of N.
     """
     # the token grain feeds several aggregation paths; it is NOT
     # persisted — the grain is a pure codegen projection over the scan
     # (recompute is one extra scan), and at corpus scale it does not fit
     # in storage memory anyway; a library-side persist would also leak
     # cache to the caller (round-1 verdict #10)
-    wordf = word_features(spark, sf_dir)
+    if wordf is None:
+        wordf = word_features(spark, sf_dir)
     sent = _sentence_agg(wordf)
     doc = sent.groupBy("doc_id").agg(
         *[F.sum(c).alias(c) for c in _SENT_SUM_COLS],

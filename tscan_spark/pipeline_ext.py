@@ -36,10 +36,14 @@ def word_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotate.annotate_extended(tok)
 
 
-def doc_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_features_ext(
+    spark: SparkSession, sf_dir: str, wordf: DataFrame | None = None
+) -> DataFrame:
     # not persisted: pure codegen projection (cheap recompute), and a
-    # library-side persist leaks cache to the caller (verdict #10)
-    wordf = word_features_ext(spark, sf_dir)
+    # library-side persist leaks cache to the caller (verdict #10).
+    # `wordf` lets the unified doc profile share one analyzed grain.
+    if wordf is None:
+        wordf = word_features_ext(spark, sf_dir)
 
     # sentence grain: multiNeg (D8) + question flag (D9). The
     # sentence-final token comes from max_by INSIDE the same aggregate —

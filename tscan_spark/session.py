@@ -68,7 +68,17 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("TSCAN_SPARK_DRIVER_MEM", "8g"))
+        # single-JVM local mode hosts driver + executors + every
+        # broadcast; 8g thrashed GC after ~50 sequential queries in one
+        # session (late queries measured 3-10x their isolated cost)
+        .config("spark.driver.memory", os.environ.get("TSCAN_SPARK_DRIVER_MEM", "32g"))
+        # release dropped broadcast/shuffle state between queries in
+        # long-lived benchmark/driver sessions
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        # whole-stage codegen across ~50 wide queries fills the default
+        # ~240m JIT code cache; once full the JVM stops compiling and
+        # late queries run interpreted (measured 3-10x slowdowns)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONF.items():
