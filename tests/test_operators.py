@@ -325,6 +325,11 @@ def test_check_als_backward_scan(spark):
 def test_doc_ratios_match_oracle(spark, oracle):
     df = QUERIES["tscan_doc_ratios"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["tscan_doc_ratios"])
+    # the documented column list (used by the profile's oracle renderer)
+    # must match the actual output exactly
+    from tscan_spark import pipeline_ratios
+
+    assert df.columns == pipeline_ratios.doc_ratios_columns()
 
 
 def test_word_freq_log_corr_semantics(spark):

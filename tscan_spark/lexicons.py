@@ -88,6 +88,46 @@ wfreq_b AS (
 )"""
 
 
+# Lemma-grain frequency lexicon (fill_freqlex runs once for words and
+# once for lemmata, src/tscan.cxx:935-949; feeds Lem_freq_log /
+# Lem_freq_log_zonder_abw in wordDifficultiesToCSV,
+# src/structstats.cxx:214-220).
+def lemma_freq(documents: DataFrame) -> DataFrame:
+    """Per-lemma corpus frequency with Laplace log-frequency.
+
+    Output: (lemma, lf_count, lf_freq_log). The total is the token
+    count (same denominator as the word lexicon), matching the
+    reference's shared freqLog base."""
+    from tscan_spark import annotate
+
+    tok = tokens_long(documents).select(
+        annotate.lemma_expr(F.col("word")).alias("lemma")
+    )
+    counts = tok.groupBy("lemma").agg(F.count(F.lit(1)).alias("lf_count"))
+    w_all = Window.partitionBy()
+    return counts.select(
+        "lemma",
+        "lf_count",
+        F.round(
+            freq_log("lf_count", F.sum("lf_count").over(w_all).cast("double")), 6
+        ).alias("lf_freq_log"),
+    )
+
+
+def sql_lemma_freq_cte() -> str:
+    from tscan_spark import annotate
+
+    return f"""
+lemfreq AS (
+    SELECT lemma,
+           COUNT(*) AS lf_count,
+           ROUND({sql_freq_log("COUNT(*)", "(SELECT COUNT(*) FROM tok)")}, 6)
+               AS lf_freq_log
+    FROM (SELECT {annotate.sql_lemma("word")} AS lemma FROM tok)
+    GROUP BY lemma
+)"""
+
+
 # W22 Staphorsius cumulative-frequency bands (staphFreqLookup,
 # src/tscan.cxx:1654-1667): a word is f50/f65/f77/f80 when its
 # cumulative corpus-frequency share (by rank) is within the band.

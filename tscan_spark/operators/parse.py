@@ -490,6 +490,11 @@ def doc_parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sent = clause_counts(spark, sf_dir)
     ok = F.col("d_level") >= 0
+    doc_sums = [
+        "smain_cnt", "ssub_cnt", "sv1_cnt", "cnj_smain_cnt", "cnj_ssub_cnt",
+        "cnj_sv1_cnt", "small_cnj_cnt", "adverbial_cnt", "los_betr_cnt",
+        "np_mod_cnt",
+    ]
     doc = sent.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("sent_cnt"),
         F.sum("clause_cnt").cast("long").alias("clause_cnt"),
@@ -497,10 +502,13 @@ def doc_parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~ok).cast("int")).cast("long").alias("parse_fail_cnt"),
         F.sum(F.when(ok, F.col("d_level"))).cast("long").alias("_dsum"),
         F.sum(ok.cast("int")).alias("_dcnt"),
+        # D_level_gt4_p numerator (structstats.cxx:1616-1619)
+        F.sum((F.col("d_level") > 4).cast("int")).cast("long").alias("d_level_gt4_cnt"),
         F.sum("n_nodes").cast("long").alias("node_cnt"),
         F.sum("betr_cnt").cast("long").alias("betr_cnt"),
         F.sum("bijw_cnt").cast("long").alias("bijw_cnt"),
         F.sum("compl_cnt").cast("long").alias("compl_cnt"),
+        *[F.sum(c).cast("long").alias(c) for c in doc_sums],
     )
     return doc.select(
         "doc_id",
@@ -512,6 +520,8 @@ def doc_parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "betr_cnt",
         "bijw_cnt",
         "compl_cnt",
+        *doc_sums,
+        "d_level_gt4_cnt",
         F.round(
             F.when(F.col("_dcnt") > 0, F.col("_dsum") / F.col("_dcnt")), 6
         ).alias("d_level_avg"),
@@ -522,9 +532,15 @@ def doc_parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_doc_parse_summary() -> str:
+    doc_sums = [
+        "smain_cnt", "ssub_cnt", "sv1_cnt", "cnj_smain_cnt", "cnj_ssub_cnt",
+        "cnj_sv1_cnt", "small_cnj_cnt", "adverbial_cnt", "los_betr_cnt",
+        "np_mod_cnt",
+    ]
+    sums = ",\n       ".join(f"CAST(SUM({c}) AS BIGINT) AS {c}" for c in doc_sums)
     return (
         _sql_clause_sent()
-        + """
+        + f"""
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS sent_cnt,
        CAST(SUM(clause_cnt) AS BIGINT) AS clause_cnt,
@@ -534,6 +550,9 @@ SELECT doc_id,
        CAST(SUM(betr_cnt) AS BIGINT) AS betr_cnt,
        CAST(SUM(bijw_cnt) AS BIGINT) AS bijw_cnt,
        CAST(SUM(compl_cnt) AS BIGINT) AS compl_cnt,
+       {sums},
+       CAST(SUM(CASE WHEN d_level > 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_level_gt4_cnt,
        ROUND(CASE WHEN SUM(CASE WHEN d_level >= 0 THEN 1 ELSE 0 END) > 0
                   THEN SUM(CASE WHEN d_level >= 0 THEN d_level ELSE 0 END) * 1.0
                        / SUM(CASE WHEN d_level >= 0 THEN 1 ELSE 0 END) END, 6)
@@ -812,6 +831,40 @@ SELECT doc_id,
        CAST(MAX(imp) AS INT) AS is_imperative
 FROM vcls
 GROUP BY doc_id, sent_idx"""
+    )
+
+
+def verb_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain W29/W28 merge: per-class verb counts + imperative
+    sentence count (verbHeader/imperativeToCSV, structstats.cxx:
+    1443-1480 — Lijdv_d and friends consume these sums)."""
+    sent = verb_features(spark, sf_dir)
+    return sent.groupBy("doc_id").agg(
+        *[
+            F.sum(f"{c.lower()}_cnt").cast("long").alias(f"{c.lower()}_cnt")
+            for c in VERB_CLASSES
+        ],
+        F.sum("is_imperative").cast("long").alias("imperative_sent_cnt"),
+        F.count(F.lit(1)).cast("long").alias("sent_cnt"),
+    )
+
+
+def sql_verb_doc_summary() -> str:
+    sums = ",\n       ".join(
+        f"CAST(SUM({c.lower()}_cnt) AS BIGINT) AS {c.lower()}_cnt"
+        for c in VERB_CLASSES
+    )
+    return (
+        "WITH vsent AS (\n"
+        + sql_verb_features()
+        + f"""
+)
+SELECT doc_id,
+       {sums},
+       CAST(SUM(is_imperative) AS BIGINT) AS imperative_sent_cnt,
+       CAST(COUNT(*) AS BIGINT) AS sent_cnt
+FROM vsent
+GROUP BY doc_id"""
     )
 
 

@@ -36,9 +36,11 @@ from tscan_spark.functions.scalars import (
     density,
     fp_mean,
     freq_log,
+    proportion,
     sql_density,
     sql_fp_mean,
     sql_freq_log,
+    sql_proportion,
 )
 
 SEM_CLASSES = ["CONCRETE", "ABSTRACT", "HUMAN"]
@@ -69,7 +71,7 @@ def _word_grain(
         tok = annotate.annotate_extended(
             annotate.annotate(corpus.tokens_long(documents))
         )
-        tok = tok.join(F.broadcast(wf), "word", "left")
+        tok = tok.join(F.broadcast(lexicons.with_band_flags(wf)), "word", "left")
     # second broadcast of the SAME dim keyed by the compound head
     hf = wf.select(
         F.col("word").alias("comp_head"),
@@ -90,28 +92,61 @@ def _word_grain(
     sf = wf.select(
         F.col("word").alias("comp_sat"),
         F.col("wf_count").alias("sat_count"),
+        F.col("wf_rank").alias("sat_rank"),
     )
     tok = tok.join(F.broadcast(sf), "comp_sat", "left")
+    # Staphorsius cumulative bands + the lemma-grain frequency lexicon
+    # (two more vocabulary-sized broadcast dims; staphFreqLookup
+    # tscan.cxx:1654-1667, lemma fill_freqlex tscan.cxx:935-949)
+    staph = lexicons.with_staph_bands(wf).select(
+        "word", *[f"is_{b}" for b, _ in lexicons.STAPH_BANDS]
+    )
+    tok = tok.join(F.broadcast(staph), "word", "left")
+    tok = tok.join(F.broadcast(lexicons.lemma_freq(documents)), "lemma", "left")
     total = F.col("wf_total")
     head_fl = F.when(is_comp, freq_log(F.coalesce(F.col("head_count"), F.lit(0)), total))
     sat_fl = F.when(is_comp, freq_log(F.coalesce(F.col("sat_count"), F.lit(0)), total))
-    return (
-        tok.withColumn("head_freq_log", F.round(head_fl, 6))
-        .withColumn("sat_freq_log", F.round(sat_fl, 6))
-        .withColumn("head_sat_freq_log", F.round((head_fl + sat_fl) / 2.0, 6))
+    head_rank = F.coalesce(F.col("head_rank"), F.lit(10**9))
+    sat_rank = F.coalesce(F.col("sat_rank"), F.lit(10**9))
+    band_cols = []
+    for band, thr in lexicons.BANDS:
+        band_cols.append(
+            F.when(is_comp, (head_rank <= thr)).cast("int").alias(f"is_{band}_head")
+        )
+        band_cols.append(
+            F.when(is_comp, (sat_rank <= thr)).cast("int").alias(f"is_{band}_sat")
+        )
+        # corrected band membership (compound counts via its head — the
+        # Freq*_corr columns, structstats.cxx:310-312)
+        band_cols.append(
+            F.when(is_comp, (head_rank <= thr).cast("int"))
+            .otherwise(F.col(f"is_{band}"))
+            .alias(f"is_{band}_corr")
+        )
+    return tok.select(
+        "*",
+        F.round(head_fl, 6).alias("head_freq_log"),
+        F.round(sat_fl, 6).alias("sat_freq_log"),
+        F.round((head_fl + sat_fl) / 2.0, 6).alias("head_sat_freq_log"),
         # word_freq_log_corr (tscan.cxx:1795-1798): head freq for
         # compounds, the word's own freq otherwise
-        .withColumn(
-            "word_freq_log_corr",
-            F.round(F.when(is_comp, head_fl).otherwise(F.col("wf_freq_log")), 6),
-        )
-        .withColumn(
-            "is_top1000_head",
-            F.when(is_comp, (F.coalesce(F.col("head_rank"), F.lit(10**9)) <= 5)).cast(
-                "int"
-            ),
-        )
-        .withColumn("wfl_r", F.round(F.col("wf_freq_log"), 6))
+        F.round(F.when(is_comp, head_fl).otherwise(F.col("wf_freq_log")), 6).alias(
+            "word_freq_log_corr"
+        ),
+        F.round(F.col("lf_freq_log"), 6).alias("lfl_r"),
+        # corrected char count: a compound contributes its head length
+        # (charCntCorr, structstats.cxx:262-263 via wordStats)
+        F.when(is_comp, F.col("comp_head_len")).otherwise(F.col("char_cnt")).alias(
+            "char_corr"
+        ),
+        # "compound of >= 3 parts" analog: satellite + 2 more satellite
+        # lengths (compound3Cnt, structstats.cxx:252-255)
+        ((F.col("tag") == "N")
+         & (F.length("word") >= annotate.COMPOUND_MIN_LEN + annotate.COMPOUND_SAT_LEN))
+        .cast("int")
+        .alias("is_compound3"),
+        *band_cols,
+        F.round(F.col("wf_freq_log"), 6).alias("wfl_r"),
     )
 
 
@@ -172,6 +207,80 @@ def doc_ratios(
     for c in SIT_CLASSES:
         aggs.append(cnt(F.col("sit_type") == c, f"sit_{c.lower()}_cnt"))
 
+    # --- wordDifficulties / compound battery widen (structstats.cxx
+    # 185-313): content/strict gates, Staphorsius proportions, per-class
+    # frequency-band counts, lemma-grain freq means, corrected chars ---
+    content_gate = (F.col("is_content") == 1) & (F.col("is_stop") == 0)
+    strict_gate = (F.col("is_content_strict") == 1) & (F.col("is_stop") == 0)
+    n_content = F.sum(F.when(content_gate, 1).otherwise(0))
+    n_strict = F.sum(F.when(strict_gate, 1).otherwise(0))
+    n_noun = F.sum(F.when(tag == "N", 1).otherwise(0))
+    n_noncomp = F.sum(F.when((tag == "N") & ~is_comp, 1).otherwise(0))
+    n_comp = F.sum(F.when(is_comp, 1).otherwise(0))
+    csum = lambda cond, col, name: (
+        F.sum(F.when(cond, F.col(col)).otherwise(0)).cast("long").alias(name)
+    )
+    aggs += [
+        F.sum("char_cnt").cast("long").alias("char_sum_r"),
+        cnt(content_gate, "inh_cnt"),
+        cnt(strict_gate, "inh_strict_cnt"),
+        cnt(F.col("is_compound3") == 1, "compound3_cnt"),
+        csum(tag == "N", "char_cnt", "char_noun_sum"),
+        csum((tag == "N") & ~is_comp, "char_cnt", "char_noncomp_sum"),
+        csum(is_comp, "char_cnt", "char_comp_sum"),
+        F.sum("char_corr").cast("long").alias("char_corr_sum"),
+        # strict / lemma / noun-class frequency-log means (all exact
+        # fixed-point sums -> order-independent)
+        fp_mean(F.when(strict_gate, F.col("wfl_r")), n_strict).alias(
+            "word_freq_log_strict"
+        ),
+        fp_mean(F.when(strict_gate, F.col("word_freq_log_corr")), n_strict).alias(
+            "word_freq_log_corr_strict"
+        ),
+        fp_mean(F.when(content_gate, F.col("lfl_r")), n_content).alias(
+            "lemma_freq_log"
+        ),
+        fp_mean(F.when(strict_gate, F.col("lfl_r")), n_strict).alias(
+            "lemma_freq_log_strict"
+        ),
+        fp_mean(F.when(tag == "N", F.col("wfl_r")), n_noun).alias("word_freq_log_nw"),
+        fp_mean(F.when((tag == "N") & ~is_comp, F.col("wfl_r")), n_noncomp).alias(
+            "word_freq_log_ong_nw"
+        ),
+        fp_mean(F.when(is_comp, F.col("wfl_r")), n_comp).alias("word_freq_log_sam_nw"),
+        fp_mean(F.when(tag == "N", F.col("word_freq_log_corr")), n_noun).alias(
+            "word_freq_log_nw_corr"
+        ),
+    ]
+    for band, _ in lexicons.STAPH_BANDS:
+        aggs.append(
+            F.sum(F.coalesce(F.col(f"is_{band}"), F.lit(0)))
+            .cast("long")
+            .alias(f"{band}_cnt")
+        )
+    for band, _ in lexicons.BANDS:
+        b = F.col(f"is_{band}") == 1
+        aggs += [
+            cnt(content_gate & b, f"{band}_inh_cnt"),
+            cnt(strict_gate & b, f"{band}_inh_strict_cnt"),
+            cnt((tag == "N") & b, f"{band}_nw_cnt"),
+            cnt((tag == "N") & ~is_comp & b, f"{band}_nsam_cnt"),
+            cnt(is_comp & b, f"{band}_sam_cnt"),
+            F.sum(F.coalesce(F.col(f"is_{band}_sat"), F.lit(0)))
+            .cast("long")
+            .alias(f"{band}_sat_cnt"),
+            F.sum(F.coalesce(F.col(f"is_{band}_corr"), F.lit(0)))
+            .cast("long")
+            .alias(f"{band}_corr_cnt"),
+            cnt((tag == "N") & (F.col(f"is_{band}_corr") == 1), f"{band}_nw_corr_cnt"),
+        ]
+        if band != "top1000":  # top1000_head_cnt already emitted above
+            aggs.append(
+                F.sum(F.coalesce(F.col(f"is_{band}_head"), F.lit(0)))
+                .cast("long")
+                .alias(f"{band}_head_cnt")
+            )
+
     doc = tok.groupBy("doc_id").agg(*aggs)
     # densities per 1000 words (utils.h:89-97 NA semantics)
     for name, _ in DENSITY_FLAGS:
@@ -188,7 +297,95 @@ def doc_ratios(
             f"sit_{c.lower()}_d",
             F.round(density(f"sit_{c.lower()}_cnt", "word_cnt"), 6),
         )
-    return doc
+    # reference-shaped ratio select (wordDifficulties/compoundToCSV,
+    # structstats.cxx:185-313) over the counters above
+    r6 = lambda c: F.round(c, 6)
+    ratio_cols = [
+        r6(proportion("word_cnt", "char_sum_r")).alias("wrd_per_let"),
+        r6(proportion("char_noun_sum", "noun_cnt")).alias("let_per_wrd_nw"),
+        r6(proportion("char_noncomp_sum", "noncomp_noun_cnt")).alias(
+            "let_per_wrd_nsam"
+        ),
+        r6(proportion("char_comp_sum", "compound_cnt")).alias("let_per_wrd_sam"),
+        r6(proportion("char_corr_sum", "word_cnt")).alias("let_per_wrd_corr"),
+        r6(proportion("compound_cnt", "noun_cnt")).alias("samenst_p"),
+        r6(density("compound3_cnt", "word_cnt")).alias("samenst3_d"),
+        r6(proportion("compound3_cnt", "noun_cnt")).alias("samenst3_p"),
+    ]
+    for band, _ in lexicons.STAPH_BANDS:
+        ratio_cols.append(r6(proportion(f"{band}_cnt", "word_cnt")).alias(f"{band}_p"))
+    for band, _ in lexicons.BANDS:
+        ratio_cols += [
+            r6(proportion(f"{band}_inh_cnt", "inh_cnt")).alias(f"{band}_inh_p"),
+            r6(proportion(f"{band}_inh_strict_cnt", "inh_strict_cnt")).alias(
+                f"{band}_inh_strict_p"
+            ),
+            r6(proportion(f"{band}_nw_cnt", "noun_cnt")).alias(f"{band}_nw_p"),
+            r6(proportion(f"{band}_nsam_cnt", "noncomp_noun_cnt")).alias(
+                f"{band}_nsam_p"
+            ),
+            r6(proportion(f"{band}_sam_cnt", "compound_cnt")).alias(f"{band}_sam_p"),
+            r6(proportion(f"{band}_head_cnt", "compound_cnt")).alias(f"{band}_head_p"),
+            r6(proportion(f"{band}_sat_cnt", "compound_cnt")).alias(f"{band}_sat_p"),
+            r6(proportion(f"{band}_corr_cnt", "word_cnt")).alias(f"{band}_corr_p"),
+            r6(proportion(f"{band}_nw_corr_cnt", "noun_cnt")).alias(
+                f"{band}_nw_corr_p"
+            ),
+        ]
+    return doc.select("*", *ratio_cols)
+
+
+def doc_ratios_columns() -> list[str]:
+    """The exact output column list of :func:`doc_ratios` (used by the
+    unified profile's oracle renderer; pytest asserts it matches)."""
+    cols = [
+        "doc_id", "word_cnt", "noun_cnt", "adj_cnt", "verb_cnt",
+        "adverb_cnt", "conj_cnt", "pron_cnt",
+    ]
+    for c in SEM_CLASSES:
+        cols += [f"sem_{c.lower()}_cnt", f"sem_{c.lower()}_strict_cnt"]
+    cols += [
+        "sem_unfound_cnt", "compound_cnt", "noncomp_noun_cnt",
+        "charcnt_head_mean", "head_freq_log_mean", "sat_freq_log_mean",
+        "head_sat_freq_log_mean", "top1000_head_cnt",
+        "word_freq_log_corr_mean", "word_freq_log_mean",
+    ]
+    cols += [f"{n}_cnt" for n, _ in DENSITY_FLAGS if n != "compound"]
+    cols += [f"conn_{c.lower()}_cnt" for c in CONN_CLASSES]
+    cols += [f"sit_{c.lower()}_cnt" for c in SIT_CLASSES]
+    cols += [
+        "char_sum_r", "inh_cnt", "inh_strict_cnt", "compound3_cnt",
+        "char_noun_sum", "char_noncomp_sum", "char_comp_sum", "char_corr_sum",
+        "word_freq_log_strict", "word_freq_log_corr_strict",
+        "lemma_freq_log", "lemma_freq_log_strict",
+        "word_freq_log_nw", "word_freq_log_ong_nw", "word_freq_log_sam_nw",
+        "word_freq_log_nw_corr",
+    ]
+    cols += [f"{b}_cnt" for b, _ in lexicons.STAPH_BANDS]
+    for b, _ in lexicons.BANDS:
+        cols += [
+            f"{b}_inh_cnt", f"{b}_inh_strict_cnt", f"{b}_nw_cnt",
+            f"{b}_nsam_cnt", f"{b}_sam_cnt", f"{b}_sat_cnt",
+            f"{b}_corr_cnt", f"{b}_nw_corr_cnt",
+        ]
+        if b != "top1000":
+            cols.append(f"{b}_head_cnt")
+    cols += [f"{n}_d" for n, _ in DENSITY_FLAGS]
+    cols += [f"conn_{c.lower()}_d" for c in CONN_CLASSES]
+    cols += [f"sit_{c.lower()}_d" for c in SIT_CLASSES]
+    cols += [
+        "wrd_per_let", "let_per_wrd_nw", "let_per_wrd_nsam",
+        "let_per_wrd_sam", "let_per_wrd_corr", "samenst_p",
+        "samenst3_d", "samenst3_p",
+    ]
+    cols += [f"{b}_p" for b, _ in lexicons.STAPH_BANDS]
+    for b, _ in lexicons.BANDS:
+        cols += [
+            f"{b}_inh_p", f"{b}_inh_strict_p", f"{b}_nw_p", f"{b}_nsam_p",
+            f"{b}_sam_p", f"{b}_head_p", f"{b}_sat_p", f"{b}_corr_p",
+            f"{b}_nw_corr_p",
+        ]
+    return cols
 
 
 def sql_doc_ratios() -> str:
@@ -241,6 +438,70 @@ def sql_doc_ratios() -> str:
             f"CAST(SUM(CASE WHEN sit_type = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
             f" AS sit_{c.lower()}_cnt"
         )
+    # wordDifficulties / compound battery widen — mirrors the Spark aggs
+    content_gate = "is_content = 1 AND is_stop = 0"
+    strict_gate = "is_content_strict = 1 AND is_stop = 0"
+    n_content = f"SUM(CASE WHEN {content_gate} THEN 1 ELSE 0 END)"
+    n_strict = f"SUM(CASE WHEN {strict_gate} THEN 1 ELSE 0 END)"
+    n_noun = "SUM(CASE WHEN tag = 'N' THEN 1 ELSE 0 END)"
+    n_noncomp = f"SUM(CASE WHEN tag = 'N' AND NOT ({is_comp}) THEN 1 ELSE 0 END)"
+    lines += [
+        "CAST(SUM(char_cnt) AS BIGINT) AS char_sum_r",
+        f"CAST({n_content} AS BIGINT) AS inh_cnt",
+        f"CAST({n_strict} AS BIGINT) AS inh_strict_cnt",
+        "CAST(SUM(is_compound3) AS BIGINT) AS compound3_cnt",
+        "CAST(SUM(CASE WHEN tag = 'N' THEN char_cnt ELSE 0 END) AS BIGINT)"
+        " AS char_noun_sum",
+        f"CAST(SUM(CASE WHEN tag = 'N' AND NOT ({is_comp}) THEN char_cnt ELSE 0 END)"
+        " AS BIGINT) AS char_noncomp_sum",
+        f"CAST(SUM(CASE WHEN {is_comp} THEN char_cnt ELSE 0 END) AS BIGINT)"
+        " AS char_comp_sum",
+        "CAST(SUM(char_corr) AS BIGINT) AS char_corr_sum",
+        sql_fp_mean(f"CASE WHEN {strict_gate} THEN wfl_r END", n_strict)
+        + " AS word_freq_log_strict",
+        sql_fp_mean(f"CASE WHEN {strict_gate} THEN word_freq_log_corr END", n_strict)
+        + " AS word_freq_log_corr_strict",
+        sql_fp_mean(f"CASE WHEN {content_gate} THEN lfl_r END", n_content)
+        + " AS lemma_freq_log",
+        sql_fp_mean(f"CASE WHEN {strict_gate} THEN lfl_r END", n_strict)
+        + " AS lemma_freq_log_strict",
+        sql_fp_mean("CASE WHEN tag = 'N' THEN wfl_r END", n_noun)
+        + " AS word_freq_log_nw",
+        sql_fp_mean(
+            f"CASE WHEN tag = 'N' AND NOT ({is_comp}) THEN wfl_r END", n_noncomp
+        )
+        + " AS word_freq_log_ong_nw",
+        sql_fp_mean(f"CASE WHEN {is_comp} THEN wfl_r END", comp_cnt)
+        + " AS word_freq_log_sam_nw",
+        sql_fp_mean("CASE WHEN tag = 'N' THEN word_freq_log_corr END", n_noun)
+        + " AS word_freq_log_nw_corr",
+    ]
+    for band, _ in lexicons.STAPH_BANDS:
+        lines.append(
+            f"CAST(SUM(COALESCE(is_{band}, 0)) AS BIGINT) AS {band}_cnt"
+        )
+    for band, _ in lexicons.BANDS:
+        b = f"is_{band} = 1"
+        lines += [
+            f"CAST(SUM(CASE WHEN {content_gate} AND {b} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {band}_inh_cnt",
+            f"CAST(SUM(CASE WHEN {strict_gate} AND {b} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {band}_inh_strict_cnt",
+            f"CAST(SUM(CASE WHEN tag = 'N' AND {b} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {band}_nw_cnt",
+            f"CAST(SUM(CASE WHEN tag = 'N' AND NOT ({is_comp}) AND {b} THEN 1 ELSE 0"
+            f" END) AS BIGINT) AS {band}_nsam_cnt",
+            f"CAST(SUM(CASE WHEN {is_comp} AND {b} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {band}_sam_cnt",
+            f"CAST(SUM(COALESCE(is_{band}_sat, 0)) AS BIGINT) AS {band}_sat_cnt",
+            f"CAST(SUM(COALESCE(is_{band}_corr, 0)) AS BIGINT) AS {band}_corr_cnt",
+            f"CAST(SUM(CASE WHEN tag = 'N' AND is_{band}_corr = 1 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS {band}_nw_corr_cnt",
+        ]
+        if band != "top1000":
+            lines.append(
+                f"CAST(SUM(COALESCE(is_{band}_head, 0)) AS BIGINT) AS {band}_head_cnt"
+            )
     dens = []
     for name, _ in DENSITY_FLAGS:
         dens.append(
@@ -270,8 +531,62 @@ def sql_doc_ratios() -> str:
         + sql_freq_log("COALESCE(sf.wf_count, 0)", "w.wf_total")
         + " END"
     )
+    # per-band head/sat/corr flags (mirrors the Spark band_cols loop)
+    band_flag_sql = []
+    for band, thr in lexicons.BANDS:
+        head_in = f"CASE WHEN COALESCE(hf.wf_rank, 1000000000) <= {thr} THEN 1 ELSE 0 END"
+        sat_in = f"CASE WHEN COALESCE(sf.wf_rank, 1000000000) <= {thr} THEN 1 ELSE 0 END"
+        band_flag_sql += [
+            f"CASE WHEN {is_comp} THEN {head_in} END AS is_{band}_head",
+            f"CASE WHEN {is_comp} THEN {sat_in} END AS is_{band}_sat",
+            f"CASE WHEN {is_comp} THEN {head_in} ELSE w.is_{band} END"
+            f" AS is_{band}_corr",
+        ]
+    band_flags_sql = ",\n           ".join(band_flag_sql)
+    staph_cols = ",\n           ".join(
+        f"st.is_{b}" for b, _ in lexicons.STAPH_BANDS
+    )
+    own_bands = ",\n           ".join(f"w.is_{b}" for b, _ in lexicons.BANDS)
     lines_sql = ",\n           ".join(lines)
     dens_sql = ",\n       ".join(dens)
+    # reference-shaped ratio select (mirrors the Spark ratio_cols list)
+    ratios = [
+        f"ROUND({sql_proportion('word_cnt', 'char_sum_r')}, 6) AS wrd_per_let",
+        f"ROUND({sql_proportion('char_noun_sum', 'noun_cnt')}, 6) AS let_per_wrd_nw",
+        f"ROUND({sql_proportion('char_noncomp_sum', 'noncomp_noun_cnt')}, 6)"
+        " AS let_per_wrd_nsam",
+        f"ROUND({sql_proportion('char_comp_sum', 'compound_cnt')}, 6)"
+        " AS let_per_wrd_sam",
+        f"ROUND({sql_proportion('char_corr_sum', 'word_cnt')}, 6) AS let_per_wrd_corr",
+        f"ROUND({sql_proportion('compound_cnt', 'noun_cnt')}, 6) AS samenst_p",
+        f"ROUND({sql_density('compound3_cnt', 'word_cnt')}, 6) AS samenst3_d",
+        f"ROUND({sql_proportion('compound3_cnt', 'noun_cnt')}, 6) AS samenst3_p",
+    ]
+    for band, _ in lexicons.STAPH_BANDS:
+        ratios.append(
+            f"ROUND({sql_proportion(f'{band}_cnt', 'word_cnt')}, 6) AS {band}_p"
+        )
+    for band, _ in lexicons.BANDS:
+        ratios += [
+            f"ROUND({sql_proportion(f'{band}_inh_cnt', 'inh_cnt')}, 6)"
+            f" AS {band}_inh_p",
+            f"ROUND({sql_proportion(f'{band}_inh_strict_cnt', 'inh_strict_cnt')}, 6)"
+            f" AS {band}_inh_strict_p",
+            f"ROUND({sql_proportion(f'{band}_nw_cnt', 'noun_cnt')}, 6) AS {band}_nw_p",
+            f"ROUND({sql_proportion(f'{band}_nsam_cnt', 'noncomp_noun_cnt')}, 6)"
+            f" AS {band}_nsam_p",
+            f"ROUND({sql_proportion(f'{band}_sam_cnt', 'compound_cnt')}, 6)"
+            f" AS {band}_sam_p",
+            f"ROUND({sql_proportion(f'{band}_head_cnt', 'compound_cnt')}, 6)"
+            f" AS {band}_head_p",
+            f"ROUND({sql_proportion(f'{band}_sat_cnt', 'compound_cnt')}, 6)"
+            f" AS {band}_sat_p",
+            f"ROUND({sql_proportion(f'{band}_corr_cnt', 'word_cnt')}, 6)"
+            f" AS {band}_corr_p",
+            f"ROUND({sql_proportion(f'{band}_nw_corr_cnt', 'noun_cnt')}, 6)"
+            f" AS {band}_nw_corr_p",
+        ]
+    ratios_sql = ",\n       ".join(ratios)
     return (
         "WITH "
         + corpus.SQL_TOK_CTE.strip()
@@ -281,22 +596,33 @@ def sql_doc_ratios() -> str:
         + annotate.sql_annot_ext_cte().strip()
         + ",\n"
         + lexicons.sql_word_freq_cte().strip()
+        + ","
+        + lexicons.sql_staph_cte().strip().lstrip()
+        + ","
+        + lexicons.sql_lemma_freq_cte().strip().lstrip()
         + f""",
 wg AS (
     SELECT a.*,
+           {own_bands},
+           {staph_cols},
            ROUND(({head_fl}), 6) AS head_freq_log,
            ROUND(({sat_fl}), 6) AS sat_freq_log,
            ROUND((({head_fl}) + ({sat_fl})) / 2.0, 6) AS head_sat_freq_log,
            ROUND(CASE WHEN {is_comp} THEN ({head_fl})
                       ELSE w.wf_freq_log END, 6) AS word_freq_log_corr,
-           CASE WHEN {is_comp} THEN
-                CASE WHEN COALESCE(hf.wf_rank, 1000000000) <= 5 THEN 1 ELSE 0 END
-           END AS is_top1000_head,
+           lfr.lf_freq_log AS lfl_r,
+           CASE WHEN {is_comp} THEN comp_head_len ELSE char_cnt END AS char_corr,
+           CASE WHEN tag = 'N' AND length(a.word) >=
+                {annotate.COMPOUND_MIN_LEN + annotate.COMPOUND_SAT_LEN}
+                THEN 1 ELSE 0 END AS is_compound3,
+           {band_flags_sql},
            ROUND(w.wf_freq_log, 6) AS wfl_r
     FROM (SELECT annot_ext.*, {sat_expr} AS comp_sat FROM annot_ext) a
-    LEFT JOIN wfreq w ON w.word = a.word
+    LEFT JOIN wfreq_b w ON w.word = a.word
     LEFT JOIN wfreq hf ON hf.word = a.comp_head
     LEFT JOIN wfreq sf ON sf.word = a.comp_sat
+    LEFT JOIN staph_b st ON st.word = a.word
+    LEFT JOIN lemfreq lfr ON lfr.lemma = a.lemma
 ),
 agg AS (
     SELECT doc_id,
@@ -305,7 +631,8 @@ agg AS (
     GROUP BY doc_id
 )
 SELECT agg.*,
-       {dens_sql}
+       {dens_sql},
+       {ratios_sql}
 FROM agg"""
     )
 

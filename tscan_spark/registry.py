@@ -688,6 +688,14 @@ def q_verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse.verb_features(spark, sf_dir)
 
 
+@query("parse_verb_doc", oracle=parse.sql_verb_doc_summary())
+def q_verb_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W29/W28 doc merge: per-class verb counts + imperative sentence
+    count (feeds Lijdv_d / Lijdv_dz and the imperative block in the
+    unified profile, structstats.cxx:1443-1480)."""
+    return parse.verb_doc_summary(spark, sf_dir)
+
+
 @query("surprisal_features", oracle=surprisal.sql_surprisal_features())
 def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: sentence LM-aggregate norms -> doc avg-of-avgs."""
@@ -763,10 +771,71 @@ _PROFILE_PARTS: list[tuple[str, list[str]]] = [
         ],
     ),
     ("parse_doc_summary", ["sent_cnt"]),
+    ("parse_verb_doc", ["sent_cnt"]),
     ("ner_features", ["word_cnt"]),
     ("np_chunk_features", []),
     ("prevalence_features", ["word_cnt"]),
 ]
+
+# sentDifficulties / verb / misc ratio block over the joined parts
+# (structstats.cxx:330-470, 1443-1480). Each entry is (name, numerator
+# SQL, denominator SQL, kind) with kind "prop" (num/den) or "dens"
+# (per-1000); the SAME SQL string renders in Spark (F.expr) and DuckDB,
+# so the two sides cannot drift.
+_NAME_TOK = "per_tok_cnt + loc_tok_cnt + org_tok_cnt + eve_tok_cnt + misc_tok_cnt"
+_PROFILE_RATIOS: list[tuple[str, str, str, str]] = [
+    ("zin_per_wrd", "sent_cnt", "word_cnt", "prop"),
+    ("dzin_per_wrd", "corrected_clause_cnt", "word_cnt", "prop"),
+    ("wrd_per_dz", "word_cnt", "corrected_clause_cnt", "prop"),
+    ("inhwrd_dz", "inh_cnt", "corrected_clause_cnt", "prop"),
+    ("inhwrd_dz_zonder_abw", "inh_strict_cnt", "corrected_clause_cnt", "prop"),
+    ("betr_bijzin_per_zin", "betr_cnt", "sent_cnt", "prop"),
+    ("bijw_bijzin_per_zin", "bijw_cnt", "sent_cnt", "prop"),
+    ("compl_bijzin_per_zin", "compl_cnt", "sent_cnt", "prop"),
+    ("fin_bijzin_per_zin", "betr_cnt + bijw_cnt + compl_cnt", "sent_cnt", "prop"),
+    ("betr_bijzin_los", "los_betr_cnt", "sent_cnt", "prop"),
+    ("pv_hzin_per_zin", "smain_cnt", "sent_cnt", "prop"),
+    ("pv_bijzin_per_zin", "ssub_cnt", "sent_cnt", "prop"),
+    ("pv_ww1_per_zin", "sv1_cnt", "sent_cnt", "prop"),
+    ("hzin_conj", "cnj_smain_cnt", "sent_cnt", "prop"),
+    ("bijzin_conj", "cnj_ssub_cnt", "sent_cnt", "prop"),
+    ("ww1_conj", "cnj_sv1_cnt", "sent_cnt", "prop"),
+    ("pv_alpino_per_zin", "clause_cnt", "sent_cnt", "prop"),
+    ("kconj_per_zin", "small_cnj_cnt", "sent_cnt", "prop"),
+    ("kconj_dz", "small_cnj_cnt", "corrected_clause_cnt", "prop"),
+    ("bijw_bep_d", "adverbial_cnt", "word_cnt", "dens"),
+    ("bijw_bep_dz", "adverbial_cnt", "corrected_clause_cnt", "prop"),
+    (
+        "bijv_bep_dz_zbijzin",
+        "GREATEST(np_mod_cnt - betr_cnt, 0)",
+        "corrected_clause_cnt",
+        "prop",
+    ),
+    ("d_level_gt4_p", "d_level_gt4_cnt", "sent_cnt", "prop"),
+    ("lijdv_d", "passive_cnt", "word_cnt", "dens"),
+    ("lijdv_dz", "passive_cnt", "corrected_clause_cnt", "prop"),
+    ("koppel_ww_d", "copula_cnt", "word_cnt", "dens"),
+    ("tijd_ww_d", "time_cnt", "word_cnt", "dens"),
+    ("modaal_ww_d", "modal_cnt", "word_cnt", "dens"),
+    ("hoofd_ww_d", "head_cnt", "word_cnt", "dens"),
+    ("imp_per_zin", "imperative_sent_cnt", "sent_cnt", "prop"),
+    ("ontk_zin_d", "neg_cnt", "word_cnt", "dens"),
+    ("ontk_zin_dz", "neg_cnt", "corrected_clause_cnt", "prop"),
+    ("ontk_morf_d", "morph_neg_cnt", "word_cnt", "dens"),
+    ("ontk_morf_dz", "morph_neg_cnt", "corrected_clause_cnt", "prop"),
+    ("ontk_tot_d", "neg_cnt + morph_neg_cnt", "word_cnt", "dens"),
+    ("ontk_tot_dz", "neg_cnt + morph_neg_cnt", "corrected_clause_cnt", "prop"),
+    ("meerv_ontk_d", "multi_neg_cnt", "word_cnt", "dens"),
+    ("meerv_ontk_dz", "multi_neg_cnt", "corrected_clause_cnt", "prop"),
+    ("pers_vnw_d", "pron_cnt", "word_cnt", "dens"),
+    ("namen_d", _NAME_TOK, "word_cnt", "dens"),
+    ("namen_p", _NAME_TOK, f"({_NAME_TOK}) + noun_cnt", "prop"),
+]
+
+
+def _profile_ratio_expr(num: str, den: str, kind: str) -> str:
+    mult = " * 1000.0" if kind == "dens" else ""
+    return f"ROUND(CASE WHEN {den} <> 0 THEN ({num}) * 1.0 / ({den}){mult} END, 6)"
 
 
 def _sql_doc_profile() -> str:
@@ -776,7 +845,12 @@ def _sql_doc_profile() -> str:
         froms.append(f"JOIN ({ORACLES[name]}\n) b{i} USING (doc_id)")
         # explicit keep list rendered lazily at runtime by the builder
         selects.append(f"__COLS_{i}__")
-    return "SELECT " + ",\n       ".join(selects) + "\nFROM " + "\n".join(froms)
+    inner = "SELECT " + ",\n       ".join(selects) + "\nFROM " + "\n".join(froms)
+    ratios = ",\n       ".join(
+        f"{_profile_ratio_expr(num, den, kind)} AS {name}"
+        for name, num, den, kind in _PROFILE_RATIOS
+    )
+    return f"SELECT p.*,\n       {ratios}\nFROM (\n{inner}\n) p"
 
 
 def _profile_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +890,14 @@ def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         build = builders.get(name)
         part = (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
         out = part if out is None else out.join(part, "doc_id")
-    return out
+    # cross-battery ratio block (same SQL strings as the oracle)
+    return out.select(
+        "*",
+        *[
+            F.expr(_profile_ratio_expr(num, den, kind)).alias(name)
+            for name, num, den, kind in _PROFILE_RATIOS
+        ],
+    )
 
 
 def _render_profile_oracle(spark_cols_by_part: list[list[str]]) -> str:
@@ -840,28 +921,17 @@ def _profile_cols() -> list[list[str]]:
             "sent_cnt", "ttr_strict", "morph_neg_d", "nominal_d", "pers_ref_d",
             "lint_score", "lint_level",
         ],
-        "tscan_doc_ratios": [
-            "doc_id", "word_cnt", "noun_cnt", "adj_cnt", "verb_cnt", "adverb_cnt",
-            "conj_cnt", "pron_cnt", "sem_concrete_cnt", "sem_concrete_strict_cnt",
-            "sem_abstract_cnt", "sem_abstract_strict_cnt", "sem_human_cnt",
-            "sem_human_strict_cnt", "sem_unfound_cnt", "compound_cnt",
-            "noncomp_noun_cnt", "charcnt_head_mean", "head_freq_log_mean",
-            "sat_freq_log_mean", "head_sat_freq_log_mean", "top1000_head_cnt",
-            "word_freq_log_corr_mean", "word_freq_log_mean", "neg_cnt",
-            "morph_neg_cnt", "pers_ref_cnt", "nominal_cnt", "intens_cnt",
-            "formal_cnt", "conn_causaal_cnt", "conn_temporeel_cnt",
-            "conn_contrastief_cnt", "conn_comparatief_cnt",
-            "conn_opsommend_wg_cnt", "sit_time_cnt", "sit_space_cnt",
-            "sit_emotion_cnt", "sit_cause_cnt", "neg_d", "morph_neg_d",
-            "pers_ref_d", "nominal_d", "compound_d", "intens_d", "formal_d",
-            "conn_causaal_d", "conn_temporeel_d", "conn_contrastief_d",
-            "conn_comparatief_d", "conn_opsommend_wg_d", "sit_time_d",
-            "sit_space_d", "sit_emotion_d", "sit_cause_d",
-        ],
+        "tscan_doc_ratios": pipeline_ratios.doc_ratios_columns(),
         "parse_doc_summary": [
             "doc_id", "sent_cnt", "clause_cnt", "corrected_clause_cnt",
             "parse_fail_cnt", "node_cnt", "betr_cnt", "bijw_cnt", "compl_cnt",
-            "d_level_avg", "clause_d",
+            "smain_cnt", "ssub_cnt", "sv1_cnt", "cnj_smain_cnt", "cnj_ssub_cnt",
+            "cnj_sv1_cnt", "small_cnj_cnt", "adverbial_cnt", "los_betr_cnt",
+            "np_mod_cnt", "d_level_gt4_cnt", "d_level_avg", "clause_d",
+        ],
+        "parse_verb_doc": [
+            "doc_id", "passive_cnt", "copula_cnt", "time_cnt", "modal_cnt",
+            "head_cnt", "imperative_sent_cnt", "sent_cnt",
         ],
         "ner_features": [
             "doc_id", "word_cnt", "per_tok_cnt", "loc_tok_cnt", "org_tok_cnt",
