@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tscan_spark import corpus
-from tscan_spark.functions.scalars import sql_fp_sum
+from tscan_spark.functions.scalars import fp_mean, sql_fp_mean, sql_fp_sum
 
 # parent rule constants (single source of truth; mirrored in SQL)
 # parent(0) = 0 (root); i % 3 != 0 -> i - 1 (chain); else i // 2 (arc)
@@ -831,6 +831,94 @@ SELECT doc_id,
        CAST(MAX(imp) AS INT) AS is_imperative
 FROM vcls
 GROUP BY doc_id, sent_idx"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 widen: per-pair-type dependency distances (the AL_* table)
+# ---------------------------------------------------------------------------
+#
+# The reference accumulates a multimap<DD_type,int> of distances for 17
+# dependency pair types (Alpino.cxx:294-614) and emits a mean per type
+# (MMtoString, structstats.cxx:408-425: AL_sub_ww ... AL_gem). The
+# analog classifies each arc by (child rel, parent tag-or-cat) over the
+# synthesized node table; pairs outside the synthetic attribute space
+# are absent (8 of 17 types expressible).
+AL_PAIRS: list[tuple[str, str, str, str]] = [
+    # (column, child rel, parent attribute, parent value)
+    ("al_su_ww", "su", "tag", "WW"),  # SUB_VERB
+    ("al_obj1_ww", "obj1", "tag", "WW"),  # OBJ1_VERB
+    ("al_vc_ww", "vc", "tag", "WW"),  # VERB_VC
+    ("al_mod_ww", "mod", "tag", "WW"),  # VERB_MOD
+    ("al_predm_ww", "predm", "tag", "WW"),  # VERB_PREDC analog
+    ("al_cnj_conj", "cnj", "cat", "conj"),  # CRD_CNJ
+    ("al_mod_np", "mod", "cat", "np"),  # NOUN mod (NP_MOD)
+    ("al_su_np", "su", "cat", "np"),  # NOUN_VC analog
+]
+
+
+def dep_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain mean dependency distance per pair type + pair counts
+    (flat mean over the doc's arcs of that type, as the reference's
+    MMtoString over the merged multimap)."""
+    nodes = parse_nodes(spark, sf_dir)
+    par = nodes.select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("sent_idx").alias("p_sent"),
+        F.col("tok_i").alias("p_tok"),
+        F.col("tag").alias("p_tag"),
+        F.col("cat").alias("p_cat"),
+    )
+    j = nodes.join(
+        par,
+        (F.col("doc_id") == F.col("p_doc"))
+        & (F.col("sent_idx") == F.col("p_sent"))
+        & (F.col("parent") == F.col("p_tok"))
+        & (F.col("tok_i") > 0),
+        "inner",
+    )
+    dist = F.abs(F.col("tok_i") - F.col("parent")).cast("double")
+    aggs = []
+    for name, rel, pattr, pval in AL_PAIRS:
+        hit = (F.col("rel") == rel) & (F.col(f"p_{pattr}") == pval)
+        n = F.sum(F.when(hit, 1).otherwise(0))
+        aggs.append(n.cast("long").alias(f"{name}_cnt"))
+        aggs.append(fp_mean(F.when(hit, dist), n).alias(name))
+    return j.groupBy("doc_id").agg(*aggs)
+
+
+def sql_dep_pair_distances() -> str:
+    lines = []
+    for name, rel, pattr, pval in AL_PAIRS:
+        hit = f"rel = '{rel}' AND p_{pattr} = '{pval}'"
+        n = f"SUM(CASE WHEN {hit} THEN 1 ELSE 0 END)"
+        lines.append(f"CAST({n} AS BIGINT) AS {name}_cnt")
+        lines.append(
+            sql_fp_mean(
+                f"CASE WHEN {hit} THEN CAST(ABS(tok_i - parent) AS DOUBLE) END", n
+            )
+            + f" AS {name}"
+        )
+    cols = ",\n       ".join(lines)
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + SQL_SENT_TOK_CTE.strip()
+        + ",\n"
+        + _sql_nodes()
+        + f""",
+jp AS (
+    SELECT n.*, p.tag AS p_tag, p.cat AS p_cat
+    FROM nodes n
+    JOIN nodes p
+      ON p.doc_id = n.doc_id AND p.sent_idx = n.sent_idx
+     AND p.tok_i = n.parent AND n.tok_i > 0
+)
+SELECT doc_id,
+       {cols}
+FROM jp
+GROUP BY doc_id"""
     )
 
 

@@ -749,6 +749,29 @@ def word_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         lexicons.with_band_flags(lexicons.word_freq(documents))
     )
     tok = tok.join(F.broadcast(wf), "word", "left")
+    # lemma-freq, prevalence and compound head/sat frequency columns
+    # (wordstats.cxx:430-520 emits these per word)
+    tok = tok.join(F.broadcast(lexicons.lemma_freq(documents)), "lemma", "left")
+    tok = tok.join(F.broadcast(lexicons.prevalence_dim(documents)), "lemma", "left")
+    hf = lexicons.word_freq(documents).select(
+        F.col("word").alias("comp_head"),
+        F.col("wf_count").alias("head_count"),
+    )
+    tok = tok.join(F.broadcast(hf), "comp_head", "left")
+    is_comp = F.col("is_compound") == 1
+    head_fl = F.when(
+        is_comp,
+        freq_log(F.coalesce(F.col("head_count"), F.lit(0)), F.col("wf_total")),
+    )
+    extra = [
+        F.round("lf_freq_log", 6).alias("lemma_freq_log"),
+        F.col("prev_pct"),
+        F.col("prev_z"),
+        F.round(head_fl, 6).alias("head_freq_log"),
+        F.round(F.when(is_comp, head_fl).otherwise(F.col("wf_freq_log")), 6).alias(
+            "word_freq_log_corr"
+        ),
+    ]
     return tok.select(
         "doc_id",
         "par_idx",
@@ -776,6 +799,7 @@ def word_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adj_pos",
         F.round("wf_freq_log", 6).alias("word_freq_log"),
         F.col("wf_rank").cast("int").alias("word_freq_rank"),
+        *extra,
         *[F.col(f"is_{b}").cast("int").alias(f"is_{b}") for b, _ in lexicons.BANDS],
         *[F.col(f"is_{b}").cast("int").alias(f"is_{b}") for b, _ in lexicons.STAPH_BANDS],
     )
@@ -792,6 +816,11 @@ def sql_word_csv() -> str:
     band_cols = ", ".join(
         [f"is_{b}" for b, _ in lexicons.BANDS] + [f"is_{b}" for b, _ in lexicons.STAPH_BANDS]
     )
+    head_fl = (
+        "CASE WHEN a.is_compound = 1 THEN "
+        + sql_freq_log("COALESCE(hf.wf_count, 0)", "w2.wf_total")
+        + " END"
+    )
     return (
         "WITH "
         + corpus.SQL_TOK_CTE.strip()
@@ -803,6 +832,10 @@ def sql_word_csv() -> str:
         + lexicons.sql_word_freq_cte().strip()
         + ",\n"
         + lexicons.sql_staph_cte().strip()
+        + ","
+        + lexicons.sql_lemma_freq_cte().strip().lstrip()
+        + ","
+        + lexicons.sql_prevalence_cte().strip().lstrip()
         + f""",
 stb AS (
     SELECT s.word, s.wf_freq_log, s.wf_rank,
@@ -813,6 +846,11 @@ stb AS (
 SELECT a.doc_id, a.par_idx, a.sent_idx, a.word_idx, a.word, a.l_word, a.lemma,
        a.tag, CAST(a.char_cnt AS INT) AS char_cnt,
        {flag_cols},
+       ROUND(lfr.lf_freq_log, 6) AS lemma_freq_log,
+       pv.prev_pct, pv.prev_z,
+       ROUND({head_fl}, 6) AS head_freq_log,
+       ROUND(CASE WHEN a.is_compound = 1 THEN ({head_fl})
+                  ELSE w2.wf_freq_log END, 6) AS word_freq_log_corr,
        a.comp_head, CAST(a.comp_head_len AS INT) AS comp_head_len,
        a.noun_sem, a.adverb_type, a.afk_domain, a.conn_type, a.sit_type,
        a.verb_form, CAST(a.pron_person AS INT) AS pron_person, a.adj_pos,
@@ -820,5 +858,9 @@ SELECT a.doc_id, a.par_idx, a.sent_idx, a.word_idx, a.word, a.l_word, a.lemma,
        CAST(w.wf_rank AS INT) AS word_freq_rank,
        {band_cols}
 FROM annot_ext a
-LEFT JOIN stb w USING (word)"""
+LEFT JOIN stb w USING (word)
+LEFT JOIN wfreq w2 ON w2.word = a.word
+LEFT JOIN wfreq hf ON hf.word = a.comp_head
+LEFT JOIN lemfreq lfr ON lfr.lemma = a.lemma
+LEFT JOIN prev pv ON pv.lemma = a.lemma"""
     )

@@ -688,6 +688,14 @@ def q_verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse.verb_features(spark, sf_dir)
 
 
+@query("parse_dep_pairs", oracle=parse.sql_dep_pair_distances())
+def q_dep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 widen: mean dependency distance per pair type (the AL_*
+    table, Alpino.cxx:294-614 + MMtoString structstats.cxx:408-425) —
+    8 pair types expressible in the synthetic rel/cat space."""
+    return parse.dep_pair_distances(spark, sf_dir)
+
+
 @query("parse_verb_doc", oracle=parse.sql_verb_doc_summary())
 def q_verb_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W29/W28 doc merge: per-class verb counts + imperative sentence
@@ -772,6 +780,8 @@ _PROFILE_PARTS: list[tuple[str, list[str]]] = [
     ),
     ("parse_doc_summary", ["sent_cnt"]),
     ("parse_verb_doc", ["sent_cnt"]),
+    ("parse_dep_pairs", []),
+    ("tscan_general_doc_features", ["word_cnt"]),
     ("ner_features", ["word_cnt"]),
     ("np_chunk_features", []),
     ("prevalence_features", ["word_cnt"]),
@@ -932,6 +942,17 @@ def _profile_cols() -> list[list[str]]:
         "parse_verb_doc": [
             "doc_id", "passive_cnt", "copula_cnt", "time_cnt", "modal_cnt",
             "head_cnt", "imperative_sent_cnt", "sent_cnt",
+        ],
+        "parse_dep_pairs": ["doc_id"]
+        + [c for name, *_ in parse.AL_PAIRS for c in (f"{name}_cnt", name)],
+        "tscan_general_doc_features": [
+            "doc_id", "word_cnt", "general_noun_cnt", "general_verb_cnt",
+            "my_class_cnt", "morph_neg_strict_cnt",
+            "gen_separate_cnt", "gen_related_cnt", "gen_acting_cnt",
+            "gen_knowledge_cnt", "gen_discussion_cnt", "gen_development_cnt",
+            "morph_sum", "morph_noun_sum", "noun_dim_cnt",
+            "morf_per_wrd", "wrd_per_morf", "morf_per_wrd_nw",
+            "wrd_per_morf_nw", "alg_nw_d", "alg_ww_d",
         ],
         "ner_features": [
             "doc_id", "word_cnt", "per_tok_cnt", "loc_tok_cnt", "org_tok_cnt",

@@ -41,6 +41,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tscan_spark import annotate, corpus
+from tscan_spark.functions.scalars import (
+    density,
+    proportion,
+    sql_density,
+    sql_proportion,
+)
 
 # ---------------------------------------------------------------------------
 # W14 general-noun classes: the reference's Type taxonomy (general.h) and
@@ -369,8 +375,29 @@ def general_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_morph_neg_strict").cast("long").alias("morph_neg_strict_cnt"),
     ]
     aggs += [F.sum(n).cast("long").alias(f"{n}_cnt") for n, _ in GENERAL_BOOLS]
-    return out.groupBy("doc_id").agg(
+    # morpheme block (wordDifficultiesToCSV Morf_per_wrd/Wrd_per_morf +
+    # noun variants, structstats.cxx:197-202) over the DIM morphemes
+    tag = F.col("cgn_tag")
+    aggs += [
+        F.sum("morph_cnt").cast("long").alias("morph_sum"),
+        F.sum(F.when(tag == "N", F.col("morph_cnt")).otherwise(0))
+        .cast("long")
+        .alias("morph_noun_sum"),
+        F.sum(F.when(tag == "N", 1).otherwise(0)).cast("long").alias("noun_dim_cnt"),
+    ]
+    doc = out.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("word_cnt"), *aggs
+    )
+    r6 = lambda c: F.round(c, 6)
+    return doc.select(
+        "*",
+        r6(proportion("morph_sum", "word_cnt")).alias("morf_per_wrd"),
+        r6(proportion("word_cnt", "morph_sum")).alias("wrd_per_morf"),
+        r6(proportion("morph_noun_sum", "noun_dim_cnt")).alias("morf_per_wrd_nw"),
+        r6(proportion("noun_dim_cnt", "morph_noun_sum")).alias("wrd_per_morf_nw"),
+        # Alg_nw_d / Alg_ww_d top predictors (structstats.cxx:192)
+        r6(density("general_noun_cnt", "word_cnt")).alias("alg_nw_d"),
+        r6(density("general_verb_cnt", "word_cnt")).alias("alg_ww_d"),
     )
 
 
@@ -380,7 +407,8 @@ def sql_general_doc_features() -> str:
         f"CAST(SUM({n}) AS BIGINT) AS {n}_cnt" for n, _ in GENERAL_BOOLS
     )
     return f"""
-WITH dimw AS ({base})
+WITH dimw AS ({base}),
+dimdoc AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS word_cnt,
        CAST(SUM(CASE WHEN general_noun_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -390,6 +418,22 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN my_class IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS my_class_cnt,
        CAST(SUM(is_morph_neg_strict) AS BIGINT) AS morph_neg_strict_cnt,
-       {bool_sums}
+       {bool_sums},
+       CAST(SUM(morph_cnt) AS BIGINT) AS morph_sum,
+       CAST(SUM(CASE WHEN cgn_tag = 'N' THEN morph_cnt ELSE 0 END) AS BIGINT)
+           AS morph_noun_sum,
+       CAST(SUM(CASE WHEN cgn_tag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           AS noun_dim_cnt
 FROM dimw
-GROUP BY doc_id"""
+GROUP BY doc_id
+)
+SELECT dimdoc.*,
+       ROUND({sql_proportion("morph_sum", "word_cnt")}, 6) AS morf_per_wrd,
+       ROUND({sql_proportion("word_cnt", "morph_sum")}, 6) AS wrd_per_morf,
+       ROUND({sql_proportion("morph_noun_sum", "noun_dim_cnt")}, 6)
+           AS morf_per_wrd_nw,
+       ROUND({sql_proportion("noun_dim_cnt", "morph_noun_sum")}, 6)
+           AS wrd_per_morf_nw,
+       ROUND({sql_density("general_noun_cnt", "word_cnt")}, 6) AS alg_nw_d,
+       ROUND({sql_density("general_verb_cnt", "word_cnt")}, 6) AS alg_ww_d
+FROM dimdoc"""
