@@ -683,6 +683,39 @@ def sentence_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id", "par_idx", "sent_idx").agg(*aggs)
 
 
+def paragraph_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same extended counter battery at PARAGRAPH grain — the
+    reference emits its full battery per paragraph as well as per
+    sentence/document (parstats.cxx; paragraph CSV sink, S9). Summing
+    the sentence battery keeps one aggregation shape (A2 merge)."""
+    sent = sentence_features_ext(spark, sf_dir)
+    sums = [c for c in sent.columns if c not in ("doc_id", "par_idx", "sent_idx")]
+    return sent.groupBy("doc_id", "par_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("sent_cnt"),
+        *[F.sum(c).cast("long").alias(c) for c in sums],
+    )
+
+
+def sql_paragraph_features_ext() -> str:
+    inner = sql_sentence_features_ext()
+    # sum every battery column; the inner query's output columns are the
+    # three keys + the counters, so render sums from the same builders
+    names = ["word_cnt"] + [f"{n}_cnt" for n, _ in SENT_EXT_FLAGS]
+    names += ["manner_adv_cnt", "general_adv_cnt", "pv_cnt", "inf_cnt", "afk_cnt"]
+    names += [f"conn_{c.lower()}_cnt" for c in CONN_CLASSES]
+    names += [f"sit_{c.lower()}_cnt" for c in SIT_CLASSES]
+    for c in SEM_CLASSES:
+        names += [f"sem_{c.lower()}_cnt", f"sem_{c.lower()}_strict_cnt"]
+    sums = ",\n       ".join(f"CAST(SUM({n}) AS BIGINT) AS {n}" for n in names)
+    return f"""
+WITH sentx AS ({inner})
+SELECT doc_id, par_idx,
+       CAST(COUNT(*) AS BIGINT) AS sent_cnt,
+       {sums}
+FROM sentx
+GROUP BY doc_id, par_idx"""
+
+
 def sql_sentence_features_ext() -> str:
     lines = ["CAST(COUNT(*) AS BIGINT) AS word_cnt"]
     lines += [

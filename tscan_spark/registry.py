@@ -498,6 +498,15 @@ def q_doc_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tscan_paragraph_features_ext", oracle=pipeline_ratios.sql_paragraph_features_ext()
+)
+def q_paragraph_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 widen: the extended counter battery merged at paragraph grain
+    (parstats shape — the reference emits its battery per paragraph)."""
+    return pipeline_ratios.paragraph_features_ext(spark, sf_dir)
+
+
+@query(
     "tscan_sentence_features_ext", oracle=pipeline_ratios.sql_sentence_features_ext()
 )
 def q_sentence_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,34 +603,53 @@ def q_paragraph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# every numeric column of the doc_features vector, unpivoted — the
+# reference emits its whole vector as <metric> annotations
+# (addOneMetric, structstats.cxx:1051-1368)
+_METRIC_COLS: list[str] = (
+    pipeline._SENT_SUM_COLS
+    + ["sent_cnt", "par_cnt", "uniq_words", "uniq_lemmas"]
+    + [f"conn_{c.lower()}_cnt" for c in pipeline.CONN_CLASSES]
+    + [f"sit_{s.lower()}_cnt" for s in pipeline.SIT_CLASSES]
+    + [
+        "wrd_per_zin", "let_per_wrd", "ttr_words", "ttr_lemmas", "content_d",
+        "neg_d", "conn_d", "freq1000_p", "freq5000_p", "freq20000_p",
+        "word_freq_log", "wfl_sent_avg", "rarity",
+    ]
+)
+
+
 @query(
     "tscan_metrics_long",
     oracle="""
 SELECT doc_id, metric, value FROM (
     SELECT doc_id,
-           unnest(['word_cnt','sent_cnt','wrd_per_zin','let_per_wrd','rarity'])
+           unnest(["""
+    + ",".join(f"'{c}'" for c in _METRIC_COLS)
+    + """])
                AS metric,
-           unnest([CAST(word_cnt AS DOUBLE), CAST(sent_cnt AS DOUBLE),
-                   wrd_per_zin, let_per_wrd, rarity]) AS value
+           unnest(["""
+    + ",".join(f"CAST({c} AS DOUBLE)" for c in _METRIC_COLS)
+    + """]) AS value
     FROM ("""
     + pipeline.sql_doc_features()
     + """) wide
 )""",
 )
 def q_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 analog: wide doc features -> long (doc_id, metric, value) sink
-    format (the reference's <metric> annotations, structstats.cxx:
-    1051-1368)."""
+    """S8 analog: the FULL wide doc-feature vector -> long
+    (doc_id, metric, value) sink format (the reference's <metric>
+    annotations, addOneMetric structstats.cxx:1051-1368)."""
     doc = pipeline.doc_features(spark, sf_dir)
-    pairs = [
-        ("word_cnt", F.col("word_cnt").cast("double")),
-        ("sent_cnt", F.col("sent_cnt").cast("double")),
-        ("wrd_per_zin", F.col("wrd_per_zin")),
-        ("let_per_wrd", F.col("let_per_wrd")),
-        ("rarity", F.col("rarity")),
-    ]
     stack_expr = F.explode(
-        F.array(*[F.struct(F.lit(n).alias("metric"), c.alias("value")) for n, c in pairs])
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("metric"), F.col(c).cast("double").alias("value")
+                )
+                for c in _METRIC_COLS
+            ]
+        )
     ).alias("kv")
     return doc.select("doc_id", stack_expr).select(
         "doc_id", F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value")
