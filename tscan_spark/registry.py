@@ -809,6 +809,10 @@ _PROFILE_PARTS: list[tuple[str, list[str]]] = [
     ("parse_doc_summary", ["sent_cnt"]),
     ("parse_verb_doc", ["sent_cnt"]),
     ("parse_dep_pairs", []),
+    # AL_gem / AL_max top predictors (structstats.cxx:193, 408-425)
+    ("parse_dep_distance", ["sent_cnt"]),
+    # MTLD battery incl. MTLD_inhwrd_zonder_abw top predictor
+    ("doc_mtld", []),
     ("tscan_general_doc_features", ["word_cnt"]),
     ("ner_features", ["word_cnt"]),
     ("np_chunk_features", []),
@@ -868,6 +872,15 @@ _PROFILE_RATIOS: list[tuple[str, str, str, str]] = [
     ("pers_vnw_d", "pron_cnt", "word_cnt", "dens"),
     ("namen_d", _NAME_TOK, "word_cnt", "dens"),
     ("namen_p", _NAME_TOK, f"({_NAME_TOK}) + noun_cnt", "prop"),
+    # Conc_nw_ruim_p / Conc_nw_strikt_p top predictors
+    # (structstats.cxx:188-190): concrete nouns over COVERED nouns
+    ("conc_nw_ruim_p", "sem_concrete_cnt", "noun_cnt - sem_unfound_cnt", "prop"),
+    (
+        "conc_nw_strikt_p",
+        "sem_concrete_strict_cnt",
+        "noun_cnt - sem_unfound_cnt",
+        "prop",
+    ),
 ]
 
 
@@ -973,6 +986,17 @@ def _profile_cols() -> list[list[str]]:
         ],
         "parse_dep_pairs": ["doc_id"]
         + [c for name, *_ in parse.AL_PAIRS for c in (f"{name}_cnt", name)],
+        "parse_dep_distance": [
+            "doc_id", "al_gem", "al_max", "al_gem_flat", "sent_cnt",
+        ],
+        "doc_mtld": ["doc_id"]
+        + [
+            "mtld_words", "mtld_lemmas", "mtld_content", "mtld_content_strict",
+            "mtld_names",
+        ]
+        + [f"mtld_conn_{c.lower()}" for c in sequential.MTLD_CONN_CLASSES]
+        + ["mtld_conn_all"]
+        + [f"mtld_sit_{c.lower()}" for c in sequential.MTLD_SIT_CLASSES],
         "tscan_general_doc_features": [
             "doc_id", "word_cnt", "general_noun_cnt", "general_verb_cnt",
             "my_class_cnt", "morph_neg_strict_cnt",

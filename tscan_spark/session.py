@@ -73,8 +73,11 @@ def get_spark(
         # session (late queries measured 3-10x their isolated cost)
         .config("spark.driver.memory", os.environ.get("TSCAN_SPARK_DRIVER_MEM", "32g"))
         # release dropped broadcast/shuffle state between queries in
-        # long-lived benchmark/driver sessions
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # long-lived benchmark/driver sessions — 30min, NOT 1min: each
+        # trigger is a stop-the-world full GC of the 32g heap, and at
+        # 1min the pauses landed on random queries (5-20s inflation
+        # moving between runs)
+        .config("spark.cleaner.periodicGC.interval", "30min")
         # whole-stage codegen across ~50 wide queries fills the default
         # ~240m JIT code cache; once full the JVM stops compiling and
         # late queries run interpreted (measured 3-10x slowdowns)
