@@ -252,6 +252,10 @@ def doc_ratios(
             "word_freq_log_nw_corr"
         ),
     ]
+    # persoonlijkheid block: personal-pronoun person counts
+    # (persoonlijkheidToCSV pers_pron_1/2/3, structstats.cxx:1118-1120)
+    for p in (1, 2, 3):
+        aggs.append(cnt(F.col("pron_person") == p, f"pron{p}_cnt"))
     for band, _ in lexicons.STAPH_BANDS:
         aggs.append(
             F.sum(F.coalesce(F.col(f"is_{band}"), F.lit(0)))
@@ -361,6 +365,7 @@ def doc_ratios_columns() -> list[str]:
         "word_freq_log_nw", "word_freq_log_ong_nw", "word_freq_log_sam_nw",
         "word_freq_log_nw_corr",
     ]
+    cols += [f"pron{p}_cnt" for p in (1, 2, 3)]
     cols += [f"{b}_cnt" for b, _ in lexicons.STAPH_BANDS]
     for b, _ in lexicons.BANDS:
         cols += [
@@ -476,6 +481,11 @@ def sql_doc_ratios() -> str:
         sql_fp_mean("CASE WHEN tag = 'N' THEN word_freq_log_corr END", n_noun)
         + " AS word_freq_log_nw_corr",
     ]
+    for p in (1, 2, 3):
+        lines.append(
+            f"CAST(SUM(CASE WHEN pron_person = {p} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS pron{p}_cnt"
+        )
     for band, _ in lexicons.STAPH_BANDS:
         lines.append(
             f"CAST(SUM(COALESCE(is_{band}, 0)) AS BIGINT) AS {band}_cnt"

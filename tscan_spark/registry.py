@@ -881,6 +881,16 @@ _PROFILE_RATIOS: list[tuple[str, str, str, str]] = [
         "noun_cnt - sem_unfound_cnt",
         "prop",
     ),
+    # coherence block: per-clause connective rates (coherenceToCSV)
+    ("conn_causaal_dz", "conn_causaal_cnt", "corrected_clause_cnt", "prop"),
+    ("conn_temporeel_dz", "conn_temporeel_cnt", "corrected_clause_cnt", "prop"),
+    ("conn_contrastief_dz", "conn_contrastief_cnt", "corrected_clause_cnt", "prop"),
+    ("conn_comparatief_dz", "conn_comparatief_cnt", "corrected_clause_cnt", "prop"),
+    ("conn_opsommend_wg_dz", "conn_opsommend_wg_cnt", "corrected_clause_cnt", "prop"),
+    # persoonlijkheid block: per-person pronoun densities
+    ("pers_vnw1_d", "pron1_cnt", "word_cnt", "dens"),
+    ("pers_vnw2_d", "pron2_cnt", "word_cnt", "dens"),
+    ("pers_vnw3_d", "pron3_cnt", "word_cnt", "dens"),
 ]
 
 
