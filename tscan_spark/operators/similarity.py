@@ -317,6 +317,140 @@ def multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(pairs)
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup family)
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_TAU = 0.43  # exact-cosine acceptance threshold on candidates
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: hyperplane-LSH candidates (own bucket
+    + Hamming-1 probes, so only bucket-local pairs are scored — never
+    all-pairs), exact fixed-point cosine verify, pairs with
+    cosine >= NEAR_DUP_TAU.
+
+    Output: (vec_id_a, vec_id_b, cosine) with a < b. The oracle replays
+    the SAME bucket rule, so the check pins both the LSH candidate
+    semantics and the exact verify.
+    """
+    emb = corpus.load(spark, sf_dir, "embeddings")
+    long = _emb_long(emb)
+    buckets = _proj_buckets(long)
+    probes = F.array(
+        F.col("bucket").cast("int"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(2**k)).cast("int")
+            for k in range(N_PLANES)
+        ],
+    )
+    a_probes = buckets.select(
+        F.col("vec_id").alias("vec_id_a"), F.explode(probes).alias("bucket")
+    )
+    cand = (
+        a_probes.join(
+            buckets.select(F.col("vec_id").alias("vec_id_b"), "bucket"), "bucket"
+        )
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        # a pair at Hamming<=1 is found from both endpoints' probes
+        .distinct()
+    )
+    la = long.select(
+        F.col("vec_id").alias("vec_id_a"), "dim", F.col("x").alias("xa")
+    )
+    lb = long.select(
+        F.col("vec_id").alias("vec_id_b"), "dim", F.col("x").alias("xb")
+    )
+    dots = (
+        cand.join(la, "vec_id_a")
+        .join(lb, ["vec_id_b", "dim"])
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(
+            F.sum(F.round(F.col("xa") * F.col("xb") * FP12, 0).cast("long")).alias(
+                "dot_fp"
+            )
+        )
+    )
+    norms = long.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("x") * F.col("x") * FP12, 0).cast("long")).alias("norm_fp")
+    )
+    pairs = (
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("vec_id").alias("vec_id_a"),
+                             F.col("norm_fp").alias("norm_a"))
+            ),
+            "vec_id_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("vec_id").alias("vec_id_b"),
+                             F.col("norm_fp").alias("norm_b"))
+            ),
+            "vec_id_b",
+        )
+        .withColumn("cosine", _cosine())
+        .where(F.col("cosine") >= NEAR_DUP_TAU)
+    )
+    return pairs.select("vec_id_a", "vec_id_b", "cosine")
+
+
+def sql_embedding_near_dup() -> str:
+    xfp = f"CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {FP12}, 0) AS BIGINT)"
+    projs = ",\n           ".join(
+        f"SUM({xfp} * ((({k} * 31 + (i - 1) * 17) % 7) - 3)) AS p{k}"
+        for k in range(N_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN p{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(N_PLANES)
+    )
+    probe_list = ", ".join(
+        ["CAST(bucket AS INT)"]
+        + [f"CAST(xor(bucket, {2**k}) AS INT)" for k in range(N_PLANES)]
+    )
+    return f"""
+WITH {_sql_norms_cte().strip()},
+proj AS (
+    SELECT vec_id,
+           {projs}
+    FROM embeddings CROSS JOIN range(1, 65) r(i)
+    GROUP BY vec_id
+),
+bucketed AS (
+    SELECT vec_id, CAST({bucket} AS INT) AS bucket FROM proj
+),
+aprobes AS (
+    SELECT vec_id AS vec_id_a, unnest([{probe_list}]) AS bucket
+    FROM bucketed
+),
+cand AS (
+    SELECT DISTINCT a.vec_id_a, b.vec_id AS vec_id_b
+    FROM aprobes a JOIN bucketed b USING (bucket)
+    WHERE a.vec_id_a < b.vec_id
+),
+dots AS (
+    SELECT c.vec_id_a, c.vec_id_b,
+           SUM(CAST(ROUND(CAST(a.embedding[i] AS DOUBLE)
+               * CAST(b.embedding[i] AS DOUBLE) * {FP12}, 0) AS BIGINT)) AS dot_fp
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.vec_id_a
+    JOIN embeddings b ON b.vec_id = c.vec_id_b
+    CROSS JOIN range(1, 65) r(i)
+    GROUP BY c.vec_id_a, c.vec_id_b
+)
+SELECT dots.vec_id_a, dots.vec_id_b,
+       ROUND((dot_fp / {float(FP12)})
+             / (sqrt(na.norm_fp / {float(FP12)}) * sqrt(nb.norm_fp / {float(FP12)})),
+             6) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = dots.vec_id_a
+JOIN norms nb ON nb.vec_id = dots.vec_id_b
+WHERE ROUND((dot_fp / {float(FP12)})
+            / (sqrt(na.norm_fp / {float(FP12)}) * sqrt(nb.norm_fp / {float(FP12)})),
+            6) >= {NEAR_DUP_TAU}"""
+
+
 def sql_multiprobe_topk() -> str:
     xfp = f"CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {FP12}, 0) AS BIGINT)"
     projs = ",\n           ".join(

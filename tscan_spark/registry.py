@@ -281,6 +281,14 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(spark, sf_dir)
 
 
+@query("dedup_embedding_cosine", oracle=similarity.sql_embedding_near_dup())
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket+probe
+    candidates (never all-pairs), exact fixed-point cosine verify,
+    threshold acceptance — the embedding member of the dedup family."""
+    return similarity.embedding_near_dup(spark, sf_dir)
+
+
 @query("similarity_multiprobe_topk", oracle=similarity.sql_multiprobe_topk())
 def q_sim_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe hyperplane-LSH ANN (8 planes = 256 buckets, Hamming-1
