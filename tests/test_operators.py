@@ -140,6 +140,8 @@ PARSE_ORACLED = [
     "parse_clause_counts",
     "parse_doc_summary",
     "parse_embedded_clauses",
+    "parse_dep_pairs",
+    "parse_verb_doc",
 ]
 
 
@@ -320,6 +322,27 @@ def test_check_als_backward_scan(spark):
     assert by_doc[3].als_conn_type == "COMPARATIEF" and by_doc[3].partner_word_idx is None
     assert by_doc[4].als_conn_type == "CAUSAAL"
     assert by_doc[5].als_conn_type == "CAUSAAL"
+
+
+def test_embedding_near_dup_match_oracle(spark, oracle):
+    df = QUERIES["dedup_embedding_cosine"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["dedup_embedding_cosine"])
+    # every accepted pair clears the threshold and is ordered a < b
+    rows = df.collect()
+    assert rows, "threshold finds at least one near-dup pair in testdata"
+    from tscan_spark.operators.similarity import NEAR_DUP_TAU
+
+    assert all(r.cosine >= NEAR_DUP_TAU and r.vec_id_a < r.vec_id_b for r in rows)
+
+
+def test_paragraph_ext_match_oracle(spark, oracle):
+    df = QUERIES["tscan_paragraph_features_ext"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["tscan_paragraph_features_ext"])
+
+
+def test_metrics_long_match_oracle(spark, oracle):
+    df = QUERIES["tscan_metrics_long"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["tscan_metrics_long"])
 
 
 def test_doc_ratios_match_oracle(spark, oracle):
