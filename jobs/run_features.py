@@ -21,8 +21,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# On a cluster the package arrives via --py-files; for local smoke runs
+# (python jobs/run_features.py) fall back to the repo root.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_REPO, "tscan_spark")) and _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def main() -> int:
@@ -64,8 +71,16 @@ def main() -> int:
             )
             n = spark.read.parquet(f"{args.output}/{name}").count()
         elif args.output:
-            df.write.mode("overwrite").parquet(f"{args.output}/{name}")
-            n = spark.read.parquet(f"{args.output}/{name}").count()
+            # Observation: metrics collected DURING the write action —
+            # no second read-back pass over the output
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"metrics_{name}")
+            df.observe(obs, F.count(F.lit(1)).alias("rows_out")).write.mode(
+                "overwrite"
+            ).parquet(f"{args.output}/{name}")
+            n = obs.get["rows_out"]
         else:
             n = df.count()
         metrics[name] = {"rows": n, "sec": round(time.time() - t0, 3)}
