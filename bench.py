@@ -43,22 +43,18 @@ def main() -> None:
     # analyzer rule init, codegen compiler and Python worker spawn all
     # land here instead of inflating whichever query happens to run
     # first (measured: first-query cost was 4-7x its steady state).
-    # The warm-up is itself timed — it is a legitimate extra sample of
-    # the flagship query, and min-of-two damps host noise spikes.
-    warm_flagship = None
+    # Pure warm-up — NOT counted as a timing sample, so every query gets
+    # exactly --repeat samples (an asymmetric extra sample could only
+    # flatter the flagship's best time).
     try:
-        t0 = time.time()
         QUERIES["tscan_doc_features"](spark, args.sf_dir).count()
-        warm_flagship = time.time() - t0
-    except Exception:
-        pass
+    except Exception as exc:  # surface, don't swallow: a broken flagship
+        print(f"# warm-up failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
         best = float("inf")
-        if name == "tscan_doc_features" and warm_flagship is not None:
-            best = warm_flagship
         for _ in range(args.repeat):
             t0 = time.time()
             df = QUERIES[name](spark, args.sf_dir)

@@ -67,7 +67,10 @@ def main() -> int:
 
             key = df.columns[0]
             run_checkpointed(
-                df, f"{args.output}/{name}", key_col=key
+                df,
+                f"{args.output}/{name}",
+                key_col=key,
+                lineage_dir=f"{args.checkpoint}/{name}",
             )
             n = spark.read.parquet(f"{args.output}/{name}").count()
         elif args.output:

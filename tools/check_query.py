@@ -15,6 +15,13 @@ import duckdb
 import numpy as np
 import pandas as pd
 
+# Python puts tools/ on sys.path when invoked as a script; the package
+# lives at the repo root one level up (same fallback jobs/run_features.py
+# uses), so `python tools/check_query.py` works without PYTHONPATH=.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_REPO, "tscan_spark")) and _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 SF_DIR = os.environ.get("TSCAN_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"

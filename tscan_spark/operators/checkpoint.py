@@ -30,12 +30,14 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 8
 
 
-def _lineage_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_lineage")
+def _lineage_dir(out_dir: str, lineage_dir: str | None = None) -> str:
+    # the ledger defaults to living beside the data; a job may point it
+    # at a separate checkpoint root (jobs/run_features.py --checkpoint)
+    return lineage_dir if lineage_dir is not None else os.path.join(out_dir, "_lineage")
 
 
-def completed_buckets(out_dir: str) -> set[int]:
-    d = _lineage_dir(out_dir)
+def completed_buckets(out_dir: str, lineage_dir: str | None = None) -> set[int]:
+    d = _lineage_dir(out_dir, lineage_dir)
     if not os.path.isdir(d):
         return set()
     return {
@@ -51,20 +53,24 @@ def run_checkpointed(
     key_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     on_bucket: Callable[[int], None] | None = None,
+    lineage_dir: str | None = None,
 ) -> dict:
     """Compute ``df`` bucket-by-bucket with resume + lineage.
 
     Returns the job metrics dict {buckets_run, buckets_skipped, rows}.
     ``on_bucket`` is a test hook invoked after each bucket commit (e.g.
-    to simulate a crash mid-job).
+    to simulate a crash mid-job). ``lineage_dir`` relocates the ledger
+    (default: ``out_dir/_lineage``) — e.g. a user-supplied checkpoint
+    root on object storage.
     """
-    os.makedirs(_lineage_dir(out_dir), exist_ok=True)
-    done = completed_buckets(out_dir)
+    ldir = _lineage_dir(out_dir, lineage_dir)
+    os.makedirs(ldir, exist_ok=True)
+    done = completed_buckets(out_dir, lineage_dir)
     if done:
         # resume safety: bucket membership is pmod(hash(key), n_buckets);
         # resuming with different parameters would silently skip or
         # duplicate rows (completed bucket ids would still "match")
-        prior = job_lineage(out_dir)[0]
+        prior = job_lineage(out_dir, lineage_dir)[0]
         if prior.get("n_buckets") != n_buckets or prior.get("key_col") != key_col:
             raise ValueError(
                 "checkpoint resume mismatch: prior run used "
@@ -95,8 +101,8 @@ def run_checkpointed(
             "n_buckets": n_buckets,
             "wall_sec": round(time.time() - t0, 3),
         }
-        tmp = os.path.join(_lineage_dir(out_dir), f"bucket={b}.json.tmp")
-        final = os.path.join(_lineage_dir(out_dir), f"bucket={b}.json")
+        tmp = os.path.join(ldir, f"bucket={b}.json.tmp")
+        final = os.path.join(ldir, f"bucket={b}.json")
         with open(tmp, "w") as f:
             json.dump(lineage, f)
         os.rename(tmp, final)  # atomic commit of the bucket
@@ -111,8 +117,8 @@ def read_checkpointed(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "bucket=*"))
 
 
-def job_lineage(out_dir: str) -> list[dict]:
-    d = _lineage_dir(out_dir)
+def job_lineage(out_dir: str, lineage_dir: str | None = None) -> list[dict]:
+    d = _lineage_dir(out_dir, lineage_dir)
     out = []
     for f in sorted(os.listdir(d)):
         if f.endswith(".json"):

@@ -62,6 +62,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.load(spark, sf_dir, "documents")
 
 
+def _with_cache(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Record the persisted subtrees a query plan depends on.
+
+    CACHE CONTRACT: a handful of dedup queries persist their shared
+    shingle subtree because the plan consumes it 2-4x and exchange
+    reuse does not cover it (measured: dropping the persist cost +60%
+    on minhash_lsh at sf0.1). The cache belongs to the RETURNED plan,
+    so the library cannot unpersist before the caller executes it;
+    instead the caller releases it after consuming the result via
+    :func:`release_caches` (or a blanket ``spark.catalog.clearCache()``
+    as bench.py does).
+    """
+    existing = list(getattr(out, "_tscan_caches", []))
+    object.__setattr__(out, "_tscan_caches", existing + list(cached))
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist every cache a dedup query attached to ``df``'s plan."""
+    for cached in getattr(df, "_tscan_caches", []):
+        cached.unpersist()
+    if hasattr(df, "_tscan_caches"):
+        object.__setattr__(df, "_tscan_caches", [])
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -183,7 +208,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # all set algebra runs on 64-bit shingle ids: narrow join keys and
     # shuffle rows instead of ~30-char strings (ids are engine-internal;
-    # a cross-shingle collision would need ~2^32 distinct shingles)
+    # a cross-shingle collision would need ~2^32 distinct shingles).
+    # persist: the subtree feeds 4 consumers and exchange reuse does not
+    # dedupe it — see the cache contract on _with_cache
     sh = (
         shingles(d)
         .select("doc_id", F.xxhash64("shingle").alias("sid"))
@@ -238,7 +265,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_common.cast("long").alias("n_common"),
         F.round(jac, 6).alias("jaccard"),
     )
-    return out.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return _with_cache(out.where(F.col("jaccard") >= JACCARD_THRESHOLD), sh)
 
 
 def sql_ngram_jaccard() -> str:
@@ -314,8 +341,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signature; every candidate is verified with the exact shingle
     Jaccard, so output quality does not depend on the sketch.
     """
-    # the shingle subtree feeds signatures and the verify join —
-    # persist it once (bench/queries clear the cache afterwards)
+    # the shingle subtree feeds signatures and the verify join — persist
+    # it once (cache contract: see _with_cache)
     sh = shingles(_docs(spark, sf_dir)).persist()
     sigs = minhash_signatures(spark, sf_dir, sh=sh)
     rpb = NUM_HASHES // NUM_BANDS
@@ -340,7 +367,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verified_jaccard(cand, sh).drop("n_common")
+    return _with_cache(_verified_jaccard(cand, sh).drop("n_common"), sh)
 
 
 def sql_minhash_lsh_pairs() -> str:

@@ -41,6 +41,24 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_mem() -> str:
+    """8g library default; 32g only when the host clearly has headroom.
+
+    Long bench/driver sessions on the 128 GiB sandbox need the big heap
+    (see the GC note below), but baking 32g into the library default
+    would swap or OOM-kill smaller hosts.
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    gib = int(line.split()[1]) / (1024 * 1024)
+                    return "32g" if gib >= 96 else "8g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "tscan_spark",
     master: str | None = None,
@@ -70,8 +88,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # single-JVM local mode hosts driver + executors + every
         # broadcast; 8g thrashed GC after ~50 sequential queries in one
-        # session (late queries measured 3-10x their isolated cost)
-        .config("spark.driver.memory", os.environ.get("TSCAN_SPARK_DRIVER_MEM", "32g"))
+        # session (late queries measured 3-10x their isolated cost).
+        # Derived from host RAM rather than hard-coded: 32g is only safe
+        # on large hosts; smaller boxes keep the 8g library default
+        # (override with TSCAN_SPARK_DRIVER_MEM either way).
+        .config("spark.driver.memory", os.environ.get("TSCAN_SPARK_DRIVER_MEM", _default_driver_mem()))
         # release dropped broadcast/shuffle state between queries in
         # long-lived benchmark/driver sessions — 30min, NOT 1min: each
         # trigger is a stop-the-world full GC of the 32g heap, and at

@@ -114,9 +114,17 @@ def streaming_running_totals(spark: SparkSession, path: str) -> DataFrame:
     State per source = (doc_cnt, tok_cnt, sorted vocab list); each
     micro-batch folds its documents in and emits the updated running
     totals (output mode "update": the latest row per source is the
-    current truth). At scale, state is partitioned by the group key —
-    per-source state size is bounded by the vocabulary, exactly like the
-    reference's in-RAM lexicon maps.
+    current truth). At scale, state is partitioned by the group key.
+
+    LIMITATION (exactness trade-off): the state keeps the full sorted
+    vocabulary list and rewrites it every micro-batch, so state size and
+    Arrow (de)serialization cost grow with the open vocabulary — fine
+    for the bounded token-id vocabularies this engine targets
+    (input_hint: pre-tokenized sequences), NOT for raw open-web text.
+    The production shape for open vocabularies swaps the list for a
+    bounded sketch (HyperLogLog registers in state; vocab_size becomes
+    approximate). Kept exact here because the correctness gate hashes
+    vocab_size against a DuckDB oracle.
     """
     import pandas as pd
 
