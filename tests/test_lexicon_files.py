@@ -86,3 +86,54 @@ def test_prevalence_features_match_oracle(spark, oracle):
 
     df = QUERIES["prevalence_features"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["prevalence_features"])
+
+
+def test_doc_features_ladder_over_reference_format_lexicon(spark):
+    """End-to-end: the doc-features ladder consuming a REFERENCE-FORMAT
+    freqlex file (fill_freqlex semantics) instead of the corpus-derived
+    lexicon. A file whose rows reproduce the corpus counts yields the
+    exact same flagship output; a clipped file changes the frequency
+    features (proving the truncated-total semantics actually flow
+    through the ladder)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tscan_spark import corpus, lexicons, pipeline
+    from tests.conftest import SF_DIR
+
+    documents = corpus.load(spark, SF_DIR, "documents")
+    wf = lexicons.word_freq(documents).orderBy(F.desc("wf_count"), F.asc("word"))
+    rows = wf.collect()
+    total = sum(r.wf_count for r in rows)
+    cum = 0.0
+    lines = []
+    for r in rows:
+        cum += 100.0 * r.wf_count / total
+        lines.append(f"{r.word}\t{r.wf_count}\tx\t{cum:.6f}")
+    path = os.path.join(tempfile.mkdtemp(), "freqlex.tsv")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    file_dim = lexicons.word_freq_from_file(spark, path)
+    base = pipeline.doc_features(spark, SF_DIR).orderBy("doc_id").collect()
+    via_file = (
+        pipeline.doc_features(spark, SF_DIR, word_freq_dim=file_dim)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.asDict() for r in base] == [r.asDict() for r in via_file]
+
+    # clip at 50% cumulative frequency: the tail is truncated, the
+    # freq-log total shrinks -> word_freq_log must differ somewhere
+    clipped = lexicons.word_freq_from_file(spark, path, freq_clip=50.0)
+    assert clipped.count() < len(rows)
+    via_clip = (
+        pipeline.doc_features(spark, SF_DIR, word_freq_dim=clipped)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert any(
+        a.word_freq_log != b.word_freq_log for a, b in zip(base, via_clip)
+    )

@@ -173,6 +173,45 @@ def test_parse_surprisal_match_oracle(spark, oracle, name):
     assert_matches_oracle(df, oracle, ORACLES[name])
 
 
+def test_nominalization_full_rule(spark):
+    """W24 checkNominal, every branch (wordstats.cxx:61-138):
+    morpheme-suffix hit, plural-strip then suffix hit, long-morpheme
+    tail match, single-morpheme word tail match, and the Alpino
+    verb-under-NP variant."""
+    import os
+    import tempfile
+
+    from tscan_spark.operators import parse
+
+    docs = spark.createDataFrame(
+        [
+            # customer -> [custo, mer]: morpheme-suffix branch
+            # ban (N) -> [ba, n]: plural morpheme 'n' stripped -> 'ba' hit
+            # bacustomer -> [ba, customer]: eff morpheme len>4, tail 'er'
+            # value -> single morpheme, len>4, tail 'ue'
+            # big -> nothing
+            (1, "customer ban bacustomer value big cat cat cat cat cat", "s"),
+            # 'agg' (N -> cat np) is the parent of token 1 'group' (WW):
+            # the verb-under-NP parse branch fires on 'group'
+            (2, "agg group cat cat cat cat cat cat cat cat", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    res = parse.nominalization(spark, d).collect()
+    by_word = {}
+    for r in res:
+        by_word.setdefault((r.doc_id, r.word), r)
+    assert by_word[(1, "customer")].nominal_lex == 1  # morph suffix 'mer'
+    assert by_word[(1, "ban")].nominal_lex == 1  # plural strip -> 'ba'
+    assert by_word[(1, "bacustomer")].nominal_lex == 1  # tail of long morpheme
+    assert by_word[(1, "value")].nominal_lex == 1  # word tail 'ue'
+    assert by_word[(1, "big")].is_nominal == 0
+    g = by_word[(2, "group")]
+    assert g.nominal_parse == 1 and g.is_nominal == 1 and g.nominal_lex == 0
+
+
 def test_staph_bands_match_oracle(spark, oracle):
     df = QUERIES["tscan_staph_bands"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["tscan_staph_bands"])
@@ -290,7 +329,8 @@ def test_greedy_four_gram_beats_prefix():
 
 def test_check_als_backward_scan(spark):
     """M1 checkAls: nearest preceding comp/opsom set-word decides; ADJ
-    fallback; sentence-initial trigger is CAUSAAL (sentstats.cxx:366-424)."""
+    fallback; sentence-initial trigger is CAUSAAL unless followed by a
+    TW word — the "als <TW>" branch (sentstats.cxx:366-424)."""
     from tscan_spark.operators import sequential
 
     docs = spark.createDataFrame(
@@ -299,12 +339,15 @@ def test_check_als_backward_scan(spark):
             (1, "key scan merge window value value value value value value", "s"),
             # spark (opsom) nearer than scan -> OPSOMMEND_WG, partner 2
             (2, "scan big spark window value value value value value value", "s"),
-            # no set word; prev is ADJ ('row') -> COMPARATIEF
-            (3, "key value merge row window value value value value value", "s"),
+            # no set word; prev is ADJ ('order') -> COMPARATIEF
+            (3, "key value merge order window value value value value value", "s"),
             # no set word; prev not ADJ -> CAUSAAL
             (4, "key value merge big window value value value value value", "s"),
             # trigger at sentence position 0 -> CAUSAAL
             (5, "window value merge big value value value value value key", "s"),
+            # position 0 with a TW next word ('row'): "als <TW>" branch
+            # overrides the CAUSAAL default -> COMPARATIEF
+            (6, "window row merge big value value value value value key", "s"),
         ],
         "doc_id long, text string, source string",
     )
@@ -322,6 +365,7 @@ def test_check_als_backward_scan(spark):
     assert by_doc[3].als_conn_type == "COMPARATIEF" and by_doc[3].partner_word_idx is None
     assert by_doc[4].als_conn_type == "CAUSAAL"
     assert by_doc[5].als_conn_type == "CAUSAAL"
+    assert by_doc[6].als_conn_type == "COMPARATIEF"
 
 
 def test_embedding_near_dup_match_oracle(spark, oracle):

@@ -33,11 +33,17 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 # CGN head tag by first letter of the word — stands in for CGN::toCGN
-# (reference decodes Frog's tagset, src/cgn.cxx:356-383).
+# (reference decodes Frog's tagset, src/cgn.cxx:356-383). The band set
+# covers the CGN classes the reference's rules actually branch on:
+# VZ feeds the {VG,VZ,BW} connective gate (tscan.cxx:1134-1181) and the
+# prep head of the PREP_OBJ1 dependency pair (Alpino.cxx:556-583); TW
+# feeds the checkAls "als <TW>" branch (sentstats.cxx:415-421).
 TAG_BANDS = [
-    ("a", "f", "N"),
+    ("a", "e", "N"),
+    ("f", "f", "VZ"),
     ("g", "m", "WW"),
-    ("n", "r", "ADJ"),
+    ("n", "q", "ADJ"),
+    ("r", "r", "TW"),
     ("s", "s", "BW"),
     ("t", "u", "VNW"),
     ("v", "z", "VG"),
@@ -56,13 +62,17 @@ NEG_WORDS = ["slow", "dup"]
 STOP_LEMMATA = ["the", "a"]
 
 # W8 connective lexicon: (lemma -> class), gated on tag in {VG, VZ, BW}
-# (src/tscan.cxx:1134-1181).  Class names follow Conn::Type (conn.h:9-11).
+# (src/tscan.cxx:1134-1181).  Class names follow Conn::Type (conn.h:9-11):
+# TEMPOREEL, OPSOMMEND_WG (word-group enumerating), OPSOMMEND_ZIN
+# (sentence enumerating — a VZ-tagged member here, like the reference's
+# preposition-class connectives), CONTRASTIEF, COMPARATIEF, CAUSAAL.
 CONNECTIVES = {
     "value": "CAUSAAL",
     "vector": "TEMPOREEL",
     "window": "CONTRASTIEF",
     "small": "COMPARATIEF",
     "spark": "OPSOMMEND_WG",
+    "filter": "OPSOMMEND_ZIN",
 }
 CONNECTIVE_TAGS = ["VG", "VZ", "BW"]
 
@@ -255,13 +265,112 @@ ADVERB_TYPES = {
 # W16 abbreviations (fill afk src/tscan.cxx:650-705): word -> domain
 AFK_DOMAINS = {"a": "OVERIG", "agg": "TECH", "dup": "TECH"}
 
-# W24 nominalization suffixes (checkNominal src/wordstats.cxx:61-138)
-NOMINAL_SUFFIXES = ["er", "ue"]
+# W24 checkNominal (src/wordstats.cxx:61-138) — the FULL rule:
+# (1) N-tagged with >1 morphemes: final morpheme, after stripping a
+#     plural morpheme en/s/n (exact reference strip list), in the
+#     nominal-suffix morpheme set (analog of ing/sel/nis/heid/...);
+# (2) same branch, when that morpheme is longer than 4 chars: tail match
+#     against NOMINAL_TAILS (analog of ose/ase/ese/isme/sie/tie);
+# (3) single-morpheme words longer than 4 chars: word tail match against
+#     NOMINAL_TAILS (any tag — the reference checks this outside the N
+#     branch);
+# (4) the Alpino verb-under-NP variant — needs parse nodes, computed in
+#     operators/parse.py::nominalization alongside this lexical rule.
+NOMINAL_MORPH_SUFFIXES = ["mer", "tch", "ba"]
+NOMINAL_PLURAL_MORPHS = ["en", "s", "n"]
+NOMINAL_TAILS = ["ue", "er"]
 
 # W25 compounds: length >= threshold splits into head + 3-char satellite
 # (compound info from fillN; formForHead src/tscan.cxx:1260-1296)
 COMPOUND_MIN_LEN = 6
 COMPOUND_SAT_LEN = 3
+
+
+# W5/W7 morpheme split (longest-analysis pick, tscan.cxx:1726-1757):
+# [prefix, rest] for morph-neg prefixed words; [head, sat] for N-tagged
+# compounds; else [word]. Single source of truth for the vocab dimension
+# (vocab_dim.build_vocab_dim) AND the W24 morpheme arms below.
+def morphemes_expr(word: Column, tag: Column) -> Column:
+    prefix_arms = None
+    for p in MORPH_NEG_PREFIXES:
+        cond = word.startswith(p) & (F.length(word) > len(p))
+        arm = F.array(F.lit(p), F.substr(word, F.lit(len(p) + 1), F.length(word)))
+        prefix_arms = (
+            F.when(cond, arm) if prefix_arms is None else prefix_arms.when(cond, arm)
+        )
+    is_comp = (tag == "N") & (F.length(word) >= COMPOUND_MIN_LEN)
+    comp = F.array(
+        F.substr(word, F.lit(1), F.length(word) - COMPOUND_SAT_LEN),
+        F.substr(
+            word,
+            F.length(word) - F.lit(COMPOUND_SAT_LEN - 1),
+            F.lit(COMPOUND_SAT_LEN),
+        ),
+    )
+    return prefix_arms.when(is_comp, comp).otherwise(F.array(word))
+
+
+def sql_morphemes(col: str, tag_sql: str) -> str:
+    arms = []
+    for p in MORPH_NEG_PREFIXES:
+        arms.append(
+            f"WHEN {col} LIKE '{p}%' AND length({col}) > {len(p)} "
+            f"THEN ['{p}', substring({col}, {len(p) + 1})]"
+        )
+    arms.append(
+        f"WHEN ({tag_sql}) = 'N' AND length({col}) >= {COMPOUND_MIN_LEN} "
+        f"THEN [substring({col}, 1, length({col}) - {COMPOUND_SAT_LEN}), "
+        f"substring({col}, length({col}) - {COMPOUND_SAT_LEN - 1})]"
+    )
+    return "CASE " + " ".join(arms) + f" ELSE [{col}] END"
+
+
+def nominal_lexical_expr(word: Column, tag: Column) -> Column:
+    """checkNominal branches 1-3 (the parse-free arms) as codegen CASE
+    logic over the morpheme array."""
+    morphs = morphemes_expr(word, tag)
+    nm = F.size(morphs)
+    last = F.element_at(morphs, -1)
+    # plural strip: nm > 1 guard keeps element_at(-2) in bounds (ANSI)
+    eff_last = F.when(
+        (nm > 1) & last.isin(NOMINAL_PLURAL_MORPHS), F.element_at(morphs, -2)
+    ).otherwise(last)
+
+    def tail_match(c: Column) -> Column:
+        hit = F.lit(False)
+        for t in NOMINAL_TAILS:
+            hit = hit | c.endswith(t)
+        return hit
+
+    branch_morph = (
+        (tag == "N")
+        & (nm > 1)
+        & (
+            eff_last.isin(NOMINAL_MORPH_SUFFIXES)
+            | ((F.length(eff_last) > 4) & tail_match(eff_last))
+        )
+    )
+    branch_tail = (nm < 2) & (F.length(word) > 4) & tail_match(word)
+    return branch_morph | branch_tail
+
+
+def sql_nominal_lexical(col: str, tag_sql: str) -> str:
+    morphs = sql_morphemes(col, tag_sql)
+    suffixes = ", ".join(f"'{s}'" for s in NOMINAL_MORPH_SUFFIXES)
+    plurals = ", ".join(f"'{s}'" for s in NOMINAL_PLURAL_MORPHS)
+
+    def tails(c: str) -> str:
+        return " OR ".join(f"{c} LIKE '%{t}'" for t in NOMINAL_TAILS)
+
+    eff = (
+        f"CASE WHEN len({morphs}) > 1 AND ({morphs})[-1] IN ({plurals}) "
+        f"THEN ({morphs})[-2] ELSE ({morphs})[-1] END"
+    )
+    return (
+        f"(({tag_sql}) = 'N' AND len({morphs}) > 1 AND "
+        f"(({eff}) IN ({suffixes}) OR (length({eff}) > 4 AND ({tails(f'({eff})')}))))"
+        f" OR (len({morphs}) < 2 AND length({col}) > 4 AND ({tails(col)}))"
+    )
 
 
 def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
@@ -283,10 +392,9 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
     for p in MORPH_NEG_PREFIXES:
         morph_neg = morph_neg | w.startswith(p)
 
-    # W24: nominalization — N-tagged with a nominal suffix
-    nominal = F.lit(False)
-    for s in NOMINAL_SUFFIXES:
-        nominal = nominal | w.endswith(s)
+    # W24: full lexical nominalization rule (morpheme + tail branches;
+    # the verb-under-NP parse branch lives in operators/parse.py)
+    nominal = nominal_lexical_expr(w, tag)
 
     # W25: compound split (head = all but last 3 chars, sat = last 3)
     is_comp = (tag == "N") & (F.length(w) >= COMPOUND_MIN_LEN)
@@ -306,7 +414,7 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
         F.when(tag == "BW", lexicon_map(ADVERB_TYPES, w)).alias("adverb_type"),
         # W16: abbreviation domain (N/SPEC gate like checkAfk)
         F.when(tag.isin(["N", "SPEC"]), lexicon_map(AFK_DOMAINS, w)).alias("afk_domain"),
-        ((tag == "N") & nominal).cast("int").alias("is_nominal"),
+        nominal.cast("int").alias("is_nominal"),
         is_comp.cast("int").alias("is_compound"),
         F.when(is_comp, F.substr(w, F.lit(1), F.length(w) - COMPOUND_SAT_LEN)).alias(
             "comp_head"
@@ -347,7 +455,7 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
 def sql_annot_ext_cte() -> str:
     """Oracle CTE for the extended battery (depends on `annot`)."""
     morph = " OR ".join(f"word LIKE '{p}%'" for p in MORPH_NEG_PREFIXES)
-    nominal = " OR ".join(f"word LIKE '%{s}'" for s in NOMINAL_SUFFIXES)
+    nominal = sql_nominal_lexical("word", "tag")
     noun_sem_sql = (
         "CASE WHEN tag IN ('N', 'ADJ') THEN "
         f"COALESCE({sql_inflected_lookup(NOUN_SEM, 'lemma')}, "
@@ -368,7 +476,7 @@ annot_ext AS (
                 THEN 1 ELSE 0 END AS is_content_strict,
            CASE WHEN tag IN ('N', 'SPEC') THEN {sql_case_map("word", AFK_DOMAINS)} END
                AS afk_domain,
-           CASE WHEN tag = 'N' AND ({nominal}) THEN 1 ELSE 0 END AS is_nominal,
+           CASE WHEN {nominal} THEN 1 ELSE 0 END AS is_nominal,
            CASE WHEN tag = 'N' AND length(word) >= {COMPOUND_MIN_LEN} THEN 1 ELSE 0 END
                AS is_compound,
            CASE WHEN tag = 'N' AND length(word) >= {COMPOUND_MIN_LEN}

@@ -66,11 +66,33 @@ def fp_sum(col) -> Column:
     return F.sum(F.round(_c(col) * FP_SCALE, 0).cast("long"))
 
 
-def fp_mean(col, cnt) -> Column:
-    """round(fp_sum/scale/cnt, 6), NULL when cnt is 0."""
-    return F.when(
-        _c(cnt) != 0, F.round(fp_sum(col) / F.lit(float(FP_SCALE)) / _c(cnt), 6)
+def round6_fp(value: Column) -> Column:
+    """6dp half-away-from-zero round as explicit IEEE ops.
+
+    ``sign(v)*floor(abs(v*1e6)+0.5)/1e6`` — floor/abs/sign are
+    bit-identical across engines, unlike ROUND(double, 6) whose
+    tie-breaking differs between Spark (BigDecimal HALF_UP on the exact
+    decimal expansion) and DuckDB near representational ties.
+    """
+    scaled = F.abs(value * FP_SCALE)
+    return F.signum(value) * F.floor(scaled + 0.5) / F.lit(float(FP_SCALE))
+
+
+def sql_round6_fp(value: str) -> str:
+    return (
+        f"SIGN({value}) * FLOOR(ABS(({value}) * {FP_SCALE}) + 0.5)"
+        f" / {float(FP_SCALE)}"
     )
+
+
+def fp_mean(col, cnt) -> Column:
+    """Fixed-point mean at 6dp, NULL when cnt is 0.
+
+    The quotient is rounded with :func:`round6_fp` (explicit floor) so
+    an exact .5 tie in the 7th decimal cannot split across engines.
+    """
+    v = fp_sum(col) / F.lit(float(FP_SCALE)) / _c(cnt)
+    return F.when(_c(cnt) != 0, round6_fp(v))
 
 
 def sql_fp_sum(col: str) -> str:
@@ -78,7 +100,5 @@ def sql_fp_sum(col: str) -> str:
 
 
 def sql_fp_mean(col: str, cnt: str) -> str:
-    return (
-        f"CASE WHEN {cnt} <> 0 THEN "
-        f"ROUND({sql_fp_sum(col)} / {float(FP_SCALE)} / {cnt}, 6) END"
-    )
+    v = f"{sql_fp_sum(col)} / {float(FP_SCALE)} / {cnt}"
+    return f"CASE WHEN {cnt} <> 0 THEN {sql_round6_fp(v)} END"

@@ -56,6 +56,32 @@ def word_freq(documents: DataFrame) -> DataFrame:
     )
 
 
+def word_freq_from_file(spark, path: str, freq_clip: float = 0.0) -> DataFrame:
+    """The word_freq dim built from a REFERENCE-FORMAT freqlex TSV.
+
+    Same output shape as :func:`word_freq` — (word, wf_count, wf_rank,
+    wf_freq_log, wf_total) — but loaded with the reference's
+    fill_freqlex semantics (singleton truncation + cumulative-frequency
+    clip, src/tscan.cxx:445-476, sources/lexicon_files.py): the feature
+    ladder runs unchanged over real lexicon data files. freq_log uses
+    the TRUNCATED total, exactly as the reference recomputes it after
+    clipping.
+    """
+    from tscan_spark.sources.lexicon_files import load_freqlex
+
+    df = load_freqlex(spark, path, freq_clip=freq_clip)
+    w = Window.orderBy(F.desc("count"), F.asc("word"))
+    w_all = Window.partitionBy()
+    total = F.sum("count").over(w_all).cast("double")
+    return df.select(
+        "word",
+        F.col("count").alias("wf_count"),
+        F.row_number().over(w).alias("wf_rank"),
+        freq_log("count", total).alias("wf_freq_log"),
+        total.alias("wf_total"),
+    )
+
+
 def with_band_flags(df: DataFrame, rank_col: str = "wf_rank") -> DataFrame:
     """Add one 0/1 flag per rank band (cascading membership)."""
     out = df

@@ -58,33 +58,35 @@ SIMHASH_BAND_BITS = 15  # 60 / 4; 2^15 bucket values per band
 SIMHASH_MAX_HAMMING = 3
 
 
+def simhash_band_bits_for(n_docs: int, target_bucket: int = 1024) -> int:
+    """Cardinality-derived band width for the simhash bucket join.
+
+    Budget math: each band partitions the corpus into 2^bits buckets,
+    so a band's self-join costs ~n * (n / 2^bits) pairs. Target bucket
+    occupancy ``target_bucket`` gives bits = ceil(log2(n / target)) —
+    e.g. 10^9 docs => 20 bits/band. The pigeonhole guarantee needs
+    SIMHASH_MAX_HAMMING+1 = 4 bands, so bits > SIMHASH_BITS/4 requires
+    a WIDER signature (e.g. 96-bit from three 32-bit halves — same
+    construction as the 60-bit lo/hi split); this helper caps at the
+    current signature and the caller widens SIMHASH_BITS when it
+    saturates. The registered demo query pins 15 bits because the
+    DuckDB oracle string is static.
+    """
+    import math
+
+    want = math.ceil(math.log2(max(2, n_docs) / target_bucket))
+    return max(4, min(SIMHASH_BITS // SIMHASH_BANDS, want))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.load(spark, sf_dir, "documents")
 
 
-def _with_cache(out: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Record the persisted subtrees a query plan depends on.
-
-    CACHE CONTRACT: a handful of dedup queries persist their shared
-    shingle subtree because the plan consumes it 2-4x and exchange
-    reuse does not cover it (measured: dropping the persist cost +60%
-    on minhash_lsh at sf0.1). The cache belongs to the RETURNED plan,
-    so the library cannot unpersist before the caller executes it;
-    instead the caller releases it after consuming the result via
-    :func:`release_caches` (or a blanket ``spark.catalog.clearCache()``
-    as bench.py does).
-    """
-    existing = list(getattr(out, "_tscan_caches", []))
-    object.__setattr__(out, "_tscan_caches", existing + list(cached))
-    return out
-
-
-def release_caches(df: DataFrame) -> None:
-    """Unpersist every cache a dedup query attached to ``df``'s plan."""
-    for cached in getattr(df, "_tscan_caches", []):
-        cached.unpersist()
-    if hasattr(df, "_tscan_caches"):
-        object.__setattr__(df, "_tscan_caches", [])
+# CACHE CONTRACT: see tscan_spark.cache — a couple of dedup queries
+# persist their shared shingle subtree (the plan consumes it 2-4x and
+# exchange reuse does not cover it; measured: dropping the persist cost
+# +60% on minhash_lsh at sf0.1); the caller unpersists after consuming.
+from tscan_spark.cache import release_caches, with_cache as _with_cache  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -512,20 +514,26 @@ def sql_simhash_docs() -> str:
     return "WITH " + _sql_simhash_ctes() + "\nSELECT doc_id, simhash FROM shs"
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, band_bits: int | None = None
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= SIMHASH_MAX_HAMMING.
 
-    Band trick: 4 bands of 15 bits; hamming<=3 pairs must agree on at
-    least one band (pigeonhole), so the self-join runs per band bucket —
-    never all-pairs, and with 2^15 values per band the buckets stay
-    small as the corpus grows. Verified with exact bit_count(xor).
+    Band trick: 4 bands of ``band_bits``; hamming<=3 pairs must agree
+    on at least one band (pigeonhole), so the self-join runs per band
+    bucket — never all-pairs. ``band_bits`` defaults to the
+    oracle-pinned 15; production callers derive it from corpus
+    cardinality via :func:`simhash_band_bits_for` (budget math there).
+    Verified with exact bit_count(xor).
     """
+    if band_bits is None:
+        band_bits = SIMHASH_BAND_BITS
     sh = simhash_docs(spark, sf_dir)
     bands = spark.range(SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
     banded = sh.crossJoin(F.broadcast(bands)).withColumn(
         "band_val",
         F.expr(
-            f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1}"
+            f"(simhash >> (band * {band_bits})) & {(1 << band_bits) - 1}"
         ),
     )
     a, b = banded.alias("a"), banded.alias("b")

@@ -139,7 +139,9 @@ ner_spans AS (
 )"""
 
 
-def token_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_ner(
+    spark: SparkSession, sf_dir: str, tok: DataFrame | None = None
+) -> DataFrame:
     """W27 ``lookupNer`` as the J4 interval join: every token joined to
     the entity span covering it (``word_idx BETWEEN tok_begin AND
     tok_end``), yielding the reference's per-word BIO code (position 0
@@ -150,7 +152,9 @@ def token_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated post-join — co-partitioned on the sentence key; span count
     per sentence is bounded, so no blowup at any corpus size.
     """
-    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    if tok is None:
+        tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    tok = tok.select("doc_id", "sent_idx", "word_idx", "word")
     spans = synth_entity_spans(tok).select(
         F.col("doc_id").alias("s_doc"),
         F.col("sent_idx").alias("s_sent"),
@@ -210,14 +214,16 @@ def sql_token_ner() -> str:
     return _sql_token_ner() + "\nSELECT * FROM tokner"
 
 
-def ner_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ner_features(
+    spark: SparkSession, sf_dir: str, tok: DataFrame | None = None
+) -> DataFrame:
     """Doc-grain NER battery: per-class token counts (the reference's
     sentence-grain counters summed to the document, docstats merge
     semantics), entity counts, mean entity length, and the W26
     personal-reference extension (PER tokens are person references —
     ``NER::toSem`` maps PER to SEM::HUMAN).
     """
-    tn = token_ner(spark, sf_dir)
+    tn = token_ner(spark, sf_dir, tok=tok)
     per_cls = [
         F.sum(F.when(F.col("ner_class") == c, 1).otherwise(0))
         .cast("long")
@@ -303,12 +309,15 @@ def synth_np_chunks(tok_tagged: DataFrame) -> DataFrame:
     )
 
 
-def np_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def np_chunk_features(
+    spark: SparkSession, sf_dir: str, tok: DataFrame | None = None
+) -> DataFrame:
     """A11 ``np_length`` (tscan.cxx:2105-2124) at sentence grain then
     doc grain: NP count, summed NP sizes, mean NP length, indefinite-NP
     count (determiner token == the indefinite article)."""
-    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
-    tok = tok.withColumn("tag", annotate.tag_expr(F.col("word")))
+    if tok is None:
+        tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+        tok = tok.withColumn("tag", annotate.tag_expr(F.col("word")))
     chunks = synth_np_chunks(tok)
     sent = chunks.groupBy("doc_id", "sent_idx").agg(
         F.count(F.lit(1)).alias("np_cnt"),

@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tscan_spark import corpus
-from tscan_spark.functions.scalars import fp_mean, sql_fp_mean, sql_fp_sum
+from tscan_spark.functions.scalars import (
+    fp_mean,
+    round6_fp,
+    sql_fp_mean,
+    sql_fp_sum,
+    sql_round6_fp,
+)
 
 # parent rule constants (single source of truth; mirrored in SQL)
 # parent(0) = 0 (root); i % 3 != 0 -> i - 1 (chain); else i // 2 (arc)
@@ -68,7 +74,9 @@ stok AS (
 )"""
 
 
-def dep_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dep_distance(
+    spark: SparkSession, sf_dir: str, nodes: DataFrame | None = None
+) -> DataFrame:
     """P1/A7: dependency distances with doc-grain avg-of-avgs semantics.
 
     Per arc: dist = |tok_i - parent| (root arc excluded). Sentence grain
@@ -76,7 +84,11 @@ def dep_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     of sentence maxima (al_max analog), plus the flat token-grain mean
     (al_gem_flat) to pin the avg-of-avgs distinction.
     """
-    tok = _with_parent(_sent_tokens(spark, sf_dir)).where(F.col("tok_i") > 0)
+    if nodes is None:
+        tok = _with_parent(_sent_tokens(spark, sf_dir))
+    else:
+        tok = nodes
+    tok = tok.where(F.col("tok_i") > 0)
     dist = F.abs(F.col("tok_i") - F.col("parent"))
     sent = tok.groupBy("doc_id", "sent_idx").agg(
         F.round(F.avg(dist), 6).alias("sent_mean"),
@@ -86,11 +98,10 @@ def dep_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doc = sent.groupBy("doc_id").agg(
         # avg-of-avgs: fixed-point over the rounded sentence means
-        F.round(
+        round6_fp(
             F.sum(F.round(F.col("sent_mean") * 1e6, 0).cast("long"))
             / 1e6
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("al_gem"),
         F.round(F.avg(F.col("sent_max").cast("double")), 6).alias("al_max"),
         F.round(F.sum("sum_dist") / F.sum("n_arcs"), 6).alias("al_gem_flat"),
@@ -119,7 +130,9 @@ sentd AS (
     FROM arcs GROUP BY doc_id, sent_idx
 )
 SELECT doc_id,
-       ROUND(SUM(CAST(ROUND(sent_mean * 1e6, 0) AS BIGINT)) / 1e6 / COUNT(*), 6)
+       """
+        + sql_round6_fp("SUM(CAST(ROUND(sent_mean * 1e6, 0) AS BIGINT)) / 1e6 / COUNT(*)")
+        + """
            AS al_gem,
        ROUND(AVG(CAST(sent_max AS DOUBLE)), 6) AS al_max,
        ROUND(SUM(sum_dist) * 1.0 / SUM(n_arcs), 6) AS al_gem_flat,
@@ -223,6 +236,7 @@ def _cat_expr() -> F.Column:
         F.when(tag == "WW", F.when(i % 3 == 0, "smain").when(i % 3 == 1, "ssub").otherwise("sv1"))
         .when(tag == "VG", "conj")
         .when(tag == "N", "np")
+        .when(tag == "VZ", "pp")
         .when(tag == "ADJ", F.when(i % 2 == 0, "rel").otherwise("cp"))
         .otherwise("other")
     )
@@ -236,23 +250,90 @@ SQL_REL = """CASE WHEN tok_i = 0 THEN 'root'
          WHEN tok_i % 5 = 4 THEN 'cnj'
          ELSE 'vc' END"""
 
+# P1 full-space attributes: the 17 dependency-pair types live in the
+# richer Alpino attribute space (rel x pos x cat x lcat) than the coarse
+# clause-battery rel above. fine_rel widens the dependency-relation
+# alphabet to the full set the reference's getDependencyDist branches on
+# (Alpino.cxx:294-614) — deterministic in (position, word) so every
+# value occurs across sentences despite the 10-token sentence geometry;
+# lcat is the reference's lexical-category attribute (part/np/ap/advp)
+# that subtypes svp/predc/mod pairs.
+FINE_RELS = [
+    "su", "obj1", "obj2", "vc", "svp", "predc",
+    "mod", "det", "body", "cnj", "pp", "cp",
+]
+LCATS = ["part", "np", "ap", "advp"]
+
+
+def _fine_rel_expr() -> F.Column:
+    i = F.col("tok_i")
+    k = (i * 7 + F.length(F.col("word"))) % len(FINE_RELS)
+    expr = F.lit(FINE_RELS[-1])
+    for j, r in reversed(list(enumerate(FINE_RELS[:-1]))):
+        expr = F.when(k == j, r).otherwise(expr)
+    return F.when(i == 0, "root").otherwise(expr)
+
+
+def _lcat_expr() -> F.Column:
+    m = (F.col("tok_i") + F.ascii(F.substring(F.col("word"), 1, 1))) % len(LCATS)
+    expr = F.lit(LCATS[-1])
+    for j, c in reversed(list(enumerate(LCATS[:-1]))):
+        expr = F.when(m == j, c).otherwise(expr)
+    return expr
+
+
+def _sql_fine_rel() -> str:
+    arms = "\n         ".join(
+        f"WHEN (tok_i * 7 + length(word)) % {len(FINE_RELS)} = {j} THEN '{r}'"
+        for j, r in enumerate(FINE_RELS[:-1])
+    )
+    return (
+        "CASE WHEN tok_i = 0 THEN 'root'\n         "
+        + arms
+        + f"\n         ELSE '{FINE_RELS[-1]}' END"
+    )
+
+
+def _sql_lcat() -> str:
+    arms = "\n         ".join(
+        f"WHEN (tok_i + ascii(substring(word, 1, 1))) % {len(LCATS)} = {j} THEN '{c}'"
+        for j, c in enumerate(LCATS[:-1])
+    )
+    return "CASE " + arms + f"\n         ELSE '{LCATS[-1]}' END"
+
 SQL_CAT = """CASE WHEN tag = 'WW' THEN
               CASE WHEN tok_i % 3 = 0 THEN 'smain'
                    WHEN tok_i % 3 = 1 THEN 'ssub' ELSE 'sv1' END
          WHEN tag = 'VG' THEN 'conj'
          WHEN tag = 'N' THEN 'np'
+         WHEN tag = 'VZ' THEN 'pp'
          WHEN tag = 'ADJ' THEN
               CASE WHEN tok_i % 2 = 0 THEN 'rel' ELSE 'cp' END
          ELSE 'other' END"""
 
 
-def parse_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def parse_nodes(
+    spark: SparkSession, sf_dir: str, tok: DataFrame | None = None
+) -> DataFrame:
     """The synthesized per-sentence node table (FIXTURES.md §3 shape,
-    flattened): (doc_id, sent_idx, tok_i, parent, tag, rel, cat)."""
+    flattened): (doc_id, sent_idx, tok_i, parent, tag, rel, cat,
+    fine_rel, lcat).
+
+    ``tok`` lets a caller (the unified profile) feed a pre-annotated
+    token grain so every parse battery shares ONE scan lineage instead
+    of re-deriving its own.
+    """
     from tscan_spark import annotate
 
-    tok = _with_parent(_sent_tokens(spark, sf_dir))
-    tok = tok.withColumn("tag", annotate.tag_expr(F.col("word")))
+    if tok is None:
+        tok = _with_parent(_sent_tokens(spark, sf_dir))
+        tok = tok.withColumn("tag", annotate.tag_expr(F.col("word")))
+    else:
+        tok = tok.select("doc_id", "sent_idx", "word_idx", "word", "tag")
+        tok = tok.withColumn(
+            "tok_i", (F.col("word_idx") % corpus.SENT_LEN).cast("int")
+        )
+        tok = _with_parent(tok)
     return tok.select(
         "doc_id",
         "sent_idx",
@@ -262,16 +343,20 @@ def parse_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tag",
         _rel_expr().alias("rel"),
         _cat_expr().alias("cat"),
+        _fine_rel_expr().alias("fine_rel"),
+        _lcat_expr().alias("lcat"),
     )
 
 
-SQL_NODES_CTE = f"""
+SQL_NODES_CTE = """
 nodes AS (
     SELECT doc_id, sent_idx, tok_i, parent, word, tag,
-           {SQL_REL} AS rel,
-           {SQL_CAT} AS cat
+           {sql_rel} AS rel,
+           {sql_cat} AS cat,
+           {sql_fine_rel} AS fine_rel,
+           {sql_lcat} AS lcat
     FROM (
-        SELECT stok.*, {{sql_tag}} AS tag FROM stok
+        SELECT stok.*, {sql_tag} AS tag FROM stok
     )
 )"""
 
@@ -279,10 +364,18 @@ nodes AS (
 def _sql_nodes() -> str:
     from tscan_spark import annotate
 
-    return SQL_NODES_CTE.format(sql_tag=annotate.sql_tag("word")).strip()
+    return SQL_NODES_CTE.format(
+        sql_tag=annotate.sql_tag("word"),
+        sql_rel=SQL_REL,
+        sql_cat=SQL_CAT,
+        sql_fine_rel=_sql_fine_rel(),
+        sql_lcat=_sql_lcat(),
+    ).strip()
 
 
-def clause_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clause_counts(
+    spark: SparkSession, sf_dir: str, nodes: DataFrame | None = None
+) -> DataFrame:
     """P3-P8 + P2 sentence battery as ONE aggregation over the
     parent-joined node table.
 
@@ -292,7 +385,8 @@ def clause_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence length), then every count is an indicator sum in the same
     partial+final hash aggregate. No UDFs anywhere.
     """
-    nodes = parse_nodes(spark, sf_dir)
+    if nodes is None:
+        nodes = parse_nodes(spark, sf_dir)
     par = nodes.select(
         F.col("doc_id").alias("p_doc"),
         F.col("sent_idx").alias("p_sent"),
@@ -479,7 +573,9 @@ FROM sentd"""
     )
 
 
-def doc_parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_parse_summary(
+    spark: SparkSession, sf_dir: str, nodes: DataFrame | None = None
+) -> DataFrame:
     """Doc-grain parse summary with the reference merge quirks:
 
     - corrected_clause_cnt is SUMMED over sentences (each clamped to
@@ -488,7 +584,7 @@ def doc_parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       counted as parse_fail_cnt (structstats.cxx:1620-1625, 336-370);
     - clause density per 1000 nodes (density() semantics).
     """
-    sent = clause_counts(spark, sf_dir)
+    sent = clause_counts(spark, sf_dir, nodes=nodes)
     ok = F.col("d_level") >= 0
     doc_sums = [
         "smain_cnt", "ssub_cnt", "sv1_cnt", "cnj_smain_cnt", "cnj_ssub_cnt",
@@ -715,7 +811,9 @@ def _sc_expr() -> F.Column:
 SQL_SC = "CASE WHEN tag = 'WW' AND tok_i % 4 = 0 THEN 'passive' ELSE 'normal' END"
 
 
-def verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def verb_features(
+    spark: SparkSession, sf_dir: str, nodes: DataFrame | None = None
+) -> DataFrame:
     """W29/W28 sentence battery: per-class verb counts + imperative flag.
 
     Plan: one aggregation of the node table by (doc, sent, parent) to
@@ -726,7 +824,9 @@ def verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tscan_spark import annotate
 
-    nodes = parse_nodes(spark, sf_dir).withColumn("sc", _sc_expr())
+    if nodes is None:
+        nodes = parse_nodes(spark, sf_dir)
+    nodes = nodes.withColumn("sc", _sc_expr())
     nodes = nodes.withColumn("lemma", annotate.lemma_expr(F.col("word")))
     sib = nodes.groupBy("doc_id", "sent_idx", "parent").agg(
         F.sum(F.when(F.col("rel") == "su", 1).otherwise(0)).alias("_su_cnt"),
@@ -839,35 +939,56 @@ GROUP BY doc_id, sent_idx"""
 # ---------------------------------------------------------------------------
 #
 # The reference accumulates a multimap<DD_type,int> of distances for 17
-# dependency pair types (Alpino.cxx:294-614) and emits a mean per type
-# (MMtoString, structstats.cxx:408-425: AL_sub_ww ... AL_gem). The
-# analog classifies each arc by (child rel, parent tag-or-cat) over the
-# synthesized node table; pairs outside the synthetic attribute space
-# are absent (8 of 17 types expressible).
-AL_PAIRS: list[tuple[str, str, str, str]] = [
-    # (column, child rel, parent attribute, parent value)
-    ("al_su_ww", "su", "tag", "WW"),  # SUB_VERB
-    ("al_obj1_ww", "obj1", "tag", "WW"),  # OBJ1_VERB
-    ("al_vc_ww", "vc", "tag", "WW"),  # VERB_VC
-    ("al_mod_ww", "mod", "tag", "WW"),  # VERB_MOD
-    ("al_predm_ww", "predm", "tag", "WW"),  # VERB_PREDC analog
-    ("al_cnj_conj", "cnj", "cat", "conj"),  # CRD_CNJ
-    ("al_mod_np", "mod", "cat", "np"),  # NOUN mod (NP_MOD)
-    ("al_su_np", "su", "cat", "np"),  # NOUN_VC analog
+# dependency pair types (Alpino.cxx:294-614; DD_type enum Alpino.h:45-48)
+# and emits a mean per type (MMtoString, structstats.cxx:408-425 —
+# header AL_sub_ww .. AL_ww_znwbwp, structstats.cxx:326-330). The analog
+# classifies each arc by (parent tag = head pos, child fine_rel, child
+# lcat) over the full-space node attributes:
+#   verb head (WW): su/obj1/obj2/vc arcs; svp+lcat part; predc+lcat
+#     np|ap; mod+lcat advp|ap|np; pp/cp phrase siblings (the reference
+#     branches on the sibling's cat there — fine_rel carries the marker);
+#   noun head (N, under np): det, vc;
+#   prep head (VZ, under pp): obj1;
+#   coordinator head (VG, crd analog): cnj;
+#   comparative head (BW, cmp/comp analog): body.
+# All 17 DD_types expressible; column names follow the reference header.
+AL_PAIRS: list[tuple[str, str, str, str | None]] = [
+    # (column, parent tag, child fine_rel, child lcat or None)
+    ("al_sub_ww", "WW", "su", None),  # SUB_VERB
+    ("al_ob_ww", "WW", "obj1", None),  # OBJ1_VERB
+    ("al_indirob_ww", "WW", "obj2", None),  # OBJ2_VERB
+    ("al_ww_vzg", "WW", "pp", None),  # VERB_PP
+    ("al_lidw_znw", "N", "det", None),  # NOUN_DET
+    ("al_vz_znw", "VZ", "obj1", None),  # PREP_OBJ1
+    ("al_ww_wwvc", "WW", "vc", None),  # VERB_VC
+    ("al_vg_wwbijzin", "BW", "body", None),  # COMP_BODY
+    ("al_vg_conj", "VG", "cnj", None),  # CRD_CNJ
+    ("al_vg_wwhoofdzin", "WW", "cp", None),  # VERB_COMP
+    ("al_znw_bijzin", "N", "vc", None),  # NOUN_VC
+    ("al_ww_schdw", "WW", "svp", "part"),  # VERB_SVP
+    ("al_ww_znwpred", "WW", "predc", "np"),  # VERB_PREDC_N
+    ("al_ww_bnwpred", "WW", "predc", "ap"),  # VERB_PREDC_A
+    ("al_ww_bnwbwp", "WW", "mod", "ap"),  # VERB_MOD_A
+    ("al_ww_bwbwp", "WW", "mod", "advp"),  # VERB_MOD_BW
+    ("al_ww_znwbwp", "WW", "mod", "np"),  # VERB_NOUN
 ]
 
 
-def dep_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-grain mean dependency distance per pair type + pair counts
+def dep_pair_distances(
+    spark: SparkSession, sf_dir: str, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Doc-grain mean dependency distance per DD pair type + pair counts
     (flat mean over the doc's arcs of that type, as the reference's
-    MMtoString over the merged multimap)."""
-    nodes = parse_nodes(spark, sf_dir)
+    MMtoString over the merged multimap), plus al_gem over all typed
+    arcs. One co-partitioned self-join on the sentence key, then every
+    (cnt, mean) column comes out of a single hash aggregate."""
+    if nodes is None:
+        nodes = parse_nodes(spark, sf_dir)
     par = nodes.select(
         F.col("doc_id").alias("p_doc"),
         F.col("sent_idx").alias("p_sent"),
         F.col("tok_i").alias("p_tok"),
         F.col("tag").alias("p_tag"),
-        F.col("cat").alias("p_cat"),
     )
     j = nodes.join(
         par,
@@ -878,19 +999,34 @@ def dep_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     dist = F.abs(F.col("tok_i") - F.col("parent")).cast("double")
+    hits = []
+    for name, ptag, rel, lcat in AL_PAIRS:
+        hit = (F.col("p_tag") == ptag) & (F.col("fine_rel") == rel)
+        if lcat is not None:
+            hit = hit & (F.col("lcat") == lcat)
+        hits.append((name, hit))
     aggs = []
-    for name, rel, pattr, pval in AL_PAIRS:
-        hit = (F.col("rel") == rel) & (F.col(f"p_{pattr}") == pval)
+    any_hit = None
+    for name, hit in hits:
         n = F.sum(F.when(hit, 1).otherwise(0))
         aggs.append(n.cast("long").alias(f"{name}_cnt"))
         aggs.append(fp_mean(F.when(hit, dist), n).alias(name))
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    n_all = F.sum(F.when(any_hit, 1).otherwise(0))
+    aggs.append(fp_mean(F.when(any_hit, dist), n_all).alias("al_gem"))
     return j.groupBy("doc_id").agg(*aggs)
 
 
 def sql_dep_pair_distances() -> str:
+    def hit_sql(ptag: str, rel: str, lcat: str | None) -> str:
+        h = f"p_tag = '{ptag}' AND fine_rel = '{rel}'"
+        if lcat is not None:
+            h += f" AND lcat = '{lcat}'"
+        return h
+
     lines = []
-    for name, rel, pattr, pval in AL_PAIRS:
-        hit = f"rel = '{rel}' AND p_{pattr} = '{pval}'"
+    for name, ptag, rel, lcat in AL_PAIRS:
+        hit = hit_sql(ptag, rel, lcat)
         n = f"SUM(CASE WHEN {hit} THEN 1 ELSE 0 END)"
         lines.append(f"CAST({n} AS BIGINT) AS {name}_cnt")
         lines.append(
@@ -899,6 +1035,17 @@ def sql_dep_pair_distances() -> str:
             )
             + f" AS {name}"
         )
+    any_hit = "\n            OR ".join(
+        f"({hit_sql(ptag, rel, lcat)})" for _, ptag, rel, lcat in AL_PAIRS
+    )
+    n_all = f"SUM(CASE WHEN {any_hit} THEN 1 ELSE 0 END)"
+    lines.append(
+        sql_fp_mean(
+            f"CASE WHEN {any_hit} THEN CAST(ABS(tok_i - parent) AS DOUBLE) END",
+            n_all,
+        )
+        + " AS al_gem"
+    )
     cols = ",\n       ".join(lines)
     return (
         "WITH "
@@ -909,7 +1056,7 @@ def sql_dep_pair_distances() -> str:
         + _sql_nodes()
         + f""",
 jp AS (
-    SELECT n.*, p.tag AS p_tag, p.cat AS p_cat
+    SELECT n.*, p.tag AS p_tag
     FROM nodes n
     JOIN nodes p
       ON p.doc_id = n.doc_id AND p.sent_idx = n.sent_idx
@@ -922,11 +1069,89 @@ GROUP BY doc_id"""
     )
 
 
-def verb_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nominalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W24 checkNominal, FULL rule (src/wordstats.cxx:61-138): the
+    lexical arms (morpheme-suffix with plural strip + tail matches —
+    annotate.nominal_lexical_expr) OR the Alpino variant — a verb node
+    directly under an np parent (wordstats.cxx:127-137; the pipeline's
+    is_nominal column carries only the lexical arms, matching the
+    reference's behavior when no parse is available, --skip=a).
+
+    Token grain output so each arm is independently checkable:
+    (doc_id, sent_idx, tok_i, word, nominal_lex, nominal_parse,
+    is_nominal). Plan: one co-partitioned self-join on the sentence key
+    for the parent cat; the lexical arm is pure codegen.
+    """
+    from tscan_spark import annotate
+
+    nodes = parse_nodes(spark, sf_dir)
+    par = nodes.select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("sent_idx").alias("p_sent"),
+        F.col("tok_i").alias("p_tok"),
+        F.col("cat").alias("p_cat"),
+    )
+    j = nodes.join(
+        par,
+        (F.col("doc_id") == F.col("p_doc"))
+        & (F.col("sent_idx") == F.col("p_sent"))
+        & (F.col("parent") == F.col("p_tok"))
+        & (F.col("tok_i") > 0),
+        "left",
+    )
+    lex = annotate.nominal_lexical_expr(F.col("word"), F.col("tag"))
+    parse_arm = (F.col("tag") == "WW") & (F.col("p_cat") == "np")
+    parse_arm = F.coalesce(parse_arm, F.lit(False))
+    return j.select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        F.col("tok_i").cast("int").alias("tok_i"),
+        "word",
+        lex.cast("int").alias("nominal_lex"),
+        parse_arm.cast("int").alias("nominal_parse"),
+        (lex | parse_arm).cast("int").alias("is_nominal"),
+    )
+
+
+def sql_nominalization() -> str:
+    from tscan_spark import annotate
+
+    lex = annotate.sql_nominal_lexical("word", "tag")
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + SQL_SENT_TOK_CTE.strip()
+        + ",\n"
+        + _sql_nodes()
+        + f""",
+nj AS (
+    SELECT n.*, p.cat AS p_cat
+    FROM nodes n
+    LEFT JOIN nodes p
+      ON p.doc_id = n.doc_id AND p.sent_idx = n.sent_idx
+     AND p.tok_i = n.parent AND n.tok_i > 0
+)
+SELECT doc_id,
+       CAST(sent_idx AS INT) AS sent_idx,
+       CAST(tok_i AS INT) AS tok_i,
+       word,
+       CAST(CASE WHEN {lex} THEN 1 ELSE 0 END AS INT) AS nominal_lex,
+       CAST(CASE WHEN tag = 'WW' AND p_cat = 'np' THEN 1 ELSE 0 END AS INT)
+           AS nominal_parse,
+       CAST(CASE WHEN ({lex}) OR (tag = 'WW' AND p_cat = 'np')
+                 THEN 1 ELSE 0 END AS INT) AS is_nominal
+FROM nj"""
+    )
+
+
+def verb_doc_summary(
+    spark: SparkSession, sf_dir: str, nodes: DataFrame | None = None
+) -> DataFrame:
     """Doc-grain W29/W28 merge: per-class verb counts + imperative
     sentence count (verbHeader/imperativeToCSV, structstats.cxx:
     1443-1480 — Lijdv_d and friends consume these sums)."""
-    sent = verb_features(spark, sf_dir)
+    sent = verb_features(spark, sf_dir, nodes=nodes)
     return sent.groupBy("doc_id").agg(
         *[
             F.sum(f"{c.lower()}_cnt").cast("long").alias(f"{c.lower()}_cnt")

@@ -212,15 +212,20 @@ def _vocab_features(spark: SparkSession, documents: DataFrame) -> dict:
     return feats
 
 
-MTLD_CONN_CLASSES = ["CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF", "OPSOMMEND_WG"]
+MTLD_CONN_CLASSES = [
+    "CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF",
+    "OPSOMMEND_WG", "OPSOMMEND_ZIN",
+]
 MTLD_SIT_CLASSES = ["TIME", "SPACE", "EMOTION", "CAUSE"]
 # combined-connective stream: the reference concatenates the class
 # streams temp -> reeks_zin -> contr -> comp -> cause (tscan.cxx:
 # 1966-1973); MTLD is order-sensitive, so the concatenation order is
-# semantics. OPSOMMEND_ZIN (reeks_zin) has no analog in the synthetic
-# lexicon, so it is absent; OPSOMMEND_WG is excluded, as in the
-# reference (the combined stream skips reeks_wg).
-MTLD_CONN_ALL_ORDER = ["TEMPOREEL", "CONTRASTIEF", "COMPARATIEF", "CAUSAAL"]
+# semantics. OPSOMMEND_WG is excluded, as in the reference (the
+# combined stream skips reeks_wg); OPSOMMEND_ZIN (reeks_zin) sits
+# second, matching the reference's exact insert order.
+MTLD_CONN_ALL_ORDER = [
+    "TEMPOREEL", "OPSOMMEND_ZIN", "CONTRASTIEF", "COMPARATIEF", "CAUSAAL"
+]
 # unknown word (not in the vocab snapshot): token/lemma id 0, no flags
 UNKNOWN_FEAT = (0, 0, 0, -1, -1)
 
@@ -544,9 +549,10 @@ FROM sent_arr
 # the nearest in the opsom-set ("zowel ... als") makes both
 # OPSOMMEND_WG; if neither exists and the trigger is VG-tagged, a
 # directly-preceding ADJ makes it COMPARATIEF ("groter als"), else
-# CAUSAAL; trigger at sentence position 0 is CAUSAAL outright.  (The
-# reference's final "als <TW>" branch has no analog — the synthetic tag
-# bands carry no TW class.)
+# CAUSAAL; a trigger at sentence position 0 is CAUSAAL outright UNLESS
+# the next word is TW-tagged ("als eerste", sentstats.cxx:415-421) —
+# the TW branch also catches non-VG triggers that fell through the
+# whole cascade.
 #
 # Synthetic analog: trigger 'window' (always VG), comp-set, opsom-set:
 ALS_WORD = "window"
@@ -592,13 +598,26 @@ def als_connectives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("doc_id", "sent_idx").orderBy("word_idx")
             ),
         )
+        .withColumn(
+            "_next_tag",
+            F.lead("tag").over(
+                Window.partitionBy("doc_id", "sent_idx").orderBy("word_idx")
+            ),
+        )
     )
     sent_pos = F.col("word_idx") % corpus.SENT_LEN
+    tw_next = F.col("_next_tag") == "TW"
     als_conn = (
-        F.when(sent_pos == 0, "CAUSAAL")
+        # position 0: CAUSAAL, overridden by the "als <TW>" branch
+        F.when(sent_pos == 0, F.when(tw_next, "COMPARATIEF").otherwise("CAUSAAL"))
         .when(F.col("_last_flag").isNotNull(), F.col("_last_flag"))
-        .when(F.col("_prev_tag") == "ADJ", "COMPARATIEF")
-        .otherwise("CAUSAAL")
+        .when(
+            F.col("tag") == "VG",
+            F.when(F.col("_prev_tag") == "ADJ", "COMPARATIEF").otherwise("CAUSAAL"),
+        )
+        # non-VG fall-through: only the "als <TW>" branch can still fire
+        .when(tw_next, "COMPARATIEF")
+        .otherwise("NONE")
     )
     return tok.where(F.col("word") == ALS_WORD).select(
         "doc_id",
@@ -635,14 +654,19 @@ alsw AS (
            last_value(CASE WHEN flag IS NOT NULL THEN word_idx END IGNORE NULLS)
                {frame} AS last_flag_idx,
            lag(tag) OVER (PARTITION BY doc_id, sent_idx ORDER BY word_idx)
-               AS prev_tag
+               AS prev_tag,
+           lead(tag) OVER (PARTITION BY doc_id, sent_idx ORDER BY word_idx)
+               AS next_tag
     FROM alsf
 )
 SELECT doc_id, sent_idx, word_idx,
-       CASE WHEN word_idx % {corpus.SENT_LEN} = 0 THEN 'CAUSAAL'
+       CASE WHEN word_idx % {corpus.SENT_LEN} = 0 THEN
+                 CASE WHEN next_tag = 'TW' THEN 'COMPARATIEF' ELSE 'CAUSAAL' END
             WHEN last_flag IS NOT NULL THEN last_flag
-            WHEN prev_tag = 'ADJ' THEN 'COMPARATIEF'
-            ELSE 'CAUSAAL' END AS als_conn_type,
+            WHEN tag = 'VG' THEN
+                 CASE WHEN prev_tag = 'ADJ' THEN 'COMPARATIEF' ELSE 'CAUSAAL' END
+            WHEN next_tag = 'TW' THEN 'COMPARATIEF'
+            ELSE 'NONE' END AS als_conn_type,
        CAST(CASE WHEN last_flag IS NOT NULL THEN last_flag_idx END AS INT)
            AS partner_word_idx
 FROM alsw

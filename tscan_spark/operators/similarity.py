@@ -249,28 +249,48 @@ SELECT q_id, vec_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}"""
 N_PLANES = 8
 
 
+def n_planes_for(n_vectors: int, target_bucket: int = 1024) -> int:
+    """Cardinality-derived hyperplane count.
+
+    Budget math: 2^p buckets hold ~n/2^p vectors each; the bucket-local
+    pair space is ~n * (bucket size) * (p+1 probes). Solving for an
+    expected bucket occupancy of ``target_bucket`` gives
+    p = ceil(log2(n / target_bucket)) — e.g. 10^9 vectors at target
+    1024 => 20 planes => ~1M buckets, candidate work per query
+    ~1024 * 21 exact cosines instead of 10^9. The registered demo
+    queries pin N_PLANES=8 because the DuckDB oracle string is rendered
+    statically; production callers pass
+    ``n_planes=n_planes_for(table_count)``.
+    """
+    import math
+
+    return max(2, math.ceil(math.log2(max(2, n_vectors) / target_bucket)))
+
+
 def _plane_weight(k: int, dim0: int) -> int:
     """Deterministic hyperplane weight in [-3, 3] for plane k, 0-based
     dim (shared literal rule with the SQL oracle)."""
     return (k * 31 + dim0 * 17) % 7 - 3
 
 
-def _proj_buckets(long: DataFrame) -> DataFrame:
-    """(vec_id, bucket): sign bits of the 8 fixed-point projections."""
+def _proj_buckets(long: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket): sign bits of the fixed-point projections."""
     xfp = F.round(F.col("x") * FP12, 0).cast("long")
     # weight expression by dim: ((k*31 + dim*17) % 7) - 3
     projs = [
         F.sum(xfp * ((F.lit(k * 31) + F.col("dim") * 17) % 7 - 3)).alias(f"p{k}")
-        for k in range(N_PLANES)
+        for k in range(n_planes)
     ]
     agg = long.groupBy("vec_id").agg(*projs)
     b = F.lit(0)
-    for k in range(N_PLANES):
+    for k in range(n_planes):
         b = b + F.when(F.col(f"p{k}") > 0, F.lit(2**k)).otherwise(0)
     return agg.select("vec_id", b.cast("int").alias("bucket"))
 
 
-def multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multiprobe_topk(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
     """Multiprobe hyperplane-LSH top-k with exact cosine rerank.
 
     Plan: one pass computes per-vector buckets (codegen hash agg over
@@ -281,14 +301,17 @@ def multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = corpus.load(spark, sf_dir, "embeddings")
     long = _emb_long(emb)
-    buckets = _proj_buckets(long)
+    if n_planes is None:
+        n_planes = N_PLANES  # oracle-pinned demo resolution; production
+        # callers derive it: n_planes_for(emb.count())
+    buckets = _proj_buckets(long, n_planes)
     corpus_long = long.join(buckets, "vec_id")
     # query probes: own bucket + flip each bit once
     probes = F.array(
         F.col("bucket").cast("int"),
         *[
             F.col("bucket").bitwiseXOR(F.lit(2**k)).cast("int")
-            for k in range(N_PLANES)
+            for k in range(n_planes)
         ],
     )
     q_buckets = (

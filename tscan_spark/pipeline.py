@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from tscan_spark import annotate, corpus, lexicons
 from tscan_spark.functions.scalars import (
     FP_SCALE,
+    round6_fp,
+    sql_round6_fp,
     fp_sum,
     proportion,
     sql_fp_sum,
@@ -40,15 +42,30 @@ from tscan_spark.functions.scalars import (
 
 RARITY_LEVEL = 4  # reference default 10, tests use 4 (tests/tscan.cfg)
 
-CONN_CLASSES = ["CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF", "OPSOMMEND_WG"]
+CONN_CLASSES = [
+    "CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF",
+    "OPSOMMEND_WG", "OPSOMMEND_ZIN",
+]
 SIT_CLASSES = ["TIME", "SPACE", "EMOTION", "CAUSE"]
 
 
-def word_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fully annotated token grain with frequency-lexicon features."""
+def word_features(
+    spark: SparkSession,
+    sf_dir: str,
+    word_freq_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Fully annotated token grain with frequency-lexicon features.
+
+    ``word_freq_dim`` swaps the corpus-derived frequency lexicon for an
+    externally loaded one in the same (word, wf_count, wf_rank,
+    wf_freq_log, wf_total) shape — e.g. a reference-format freqlex TSV
+    loaded with fill_freqlex truncation semantics
+    (lexicons.word_freq_from_file / sources/lexicon_files.py).
+    """
     documents = corpus.load(spark, sf_dir, "documents")
     tok = annotate.annotate(corpus.tokens_long(documents))
-    wf = lexicons.with_band_flags(lexicons.word_freq(documents))
+    wf_src = word_freq_dim if word_freq_dim is not None else lexicons.word_freq(documents)
+    wf = lexicons.with_band_flags(wf_src)
     # broadcast lexicon join — the Spark-native analog of the reference's
     # per-word std::map probes (src/tscan.cxx:1624-1644)
     out = tok.join(F.broadcast(wf), "word", "left")
@@ -88,8 +105,8 @@ def _sentence_agg(wordf: DataFrame) -> DataFrame:
             "sent_wfl",
             F.when(
                 F.col("content_cnt") != 0,
-                F.round(
-                    F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt"), 6
+                round6_fp(
+                    F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt")
                 ),
             ),
         )
@@ -112,7 +129,10 @@ _SENT_SUM_COLS = [
 
 
 def doc_features(
-    spark: SparkSession, sf_dir: str, wordf: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    wordf: DataFrame | None = None,
+    word_freq_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Document-grain feature vector — the flagship query.
 
@@ -132,7 +152,7 @@ def doc_features(
     # in storage memory anyway; a library-side persist would also leak
     # cache to the caller (round-1 verdict #10)
     if wordf is None:
-        wordf = word_features(spark, sf_dir)
+        wordf = word_features(spark, sf_dir, word_freq_dim=word_freq_dim)
     sent = _sentence_agg(wordf)
     doc = sent.groupBy("doc_id").agg(
         *[F.sum(c).alias(c) for c in _SENT_SUM_COLS],
@@ -199,12 +219,12 @@ def doc_features(
         r6(proportion(F.col("top20000_cnt") * 100.0, "word_cnt")).alias("freq20000_p"),
         F.when(
             F.col("content_cnt") != 0,
-            F.round(F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt"), 6),
+            round6_fp(F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt")),
         ).alias("word_freq_log"),
         F.when(
             F.col("sent_wfl_cnt") != 0,
-            F.round(
-                F.col("sent_wfl_fp") / F.lit(float(FP_SCALE)) / F.col("sent_wfl_cnt"), 6
+            round6_fp(
+                F.col("sent_wfl_fp") / F.lit(float(FP_SCALE)) / F.col("sent_wfl_cnt")
             ),
         ).alias("wfl_sent_avg"),
         r6(F.col("rarity")).alias("rarity"),
@@ -297,7 +317,7 @@ docf AS (
            COUNT(DISTINCT par_idx) AS par_cnt,
            SUM(wfl_fp) AS wfl_fp,
            SUM(CAST(ROUND((CASE WHEN content_cnt <> 0
-                    THEN ROUND(wfl_fp / 1000000.0 / content_cnt, 6) END) * 1000000, 0)
+                    THEN SIGN(wfl_fp / 1000000.0 / content_cnt) * FLOOR(ABS((wfl_fp / 1000000.0 / content_cnt) * 1000000) + 0.5) / 1000000.0 END) * 1000000, 0)
                     AS BIGINT)) AS sent_wfl_fp,
            SUM(CASE WHEN content_cnt <> 0 THEN 1 ELSE 0 END) AS sent_wfl_cnt
     FROM sentf
@@ -333,9 +353,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ROUND({sql_proportion("top5000_cnt * 100.0", "word_cnt")}, 6) AS freq5000_p,
        ROUND({sql_proportion("top20000_cnt * 100.0", "word_cnt")}, 6) AS freq20000_p,
        CASE WHEN content_cnt <> 0
-            THEN ROUND(wfl_fp / 1000000.0 / content_cnt, 6) END AS word_freq_log,
+            THEN SIGN(wfl_fp / 1000000.0 / content_cnt) * FLOOR(ABS((wfl_fp / 1000000.0 / content_cnt) * 1000000) + 0.5) / 1000000.0 END AS word_freq_log,
        CASE WHEN sent_wfl_cnt <> 0
-            THEN ROUND(sent_wfl_fp / 1000000.0 / sent_wfl_cnt, 6) END AS wfl_sent_avg,
+            THEN SIGN(sent_wfl_fp / 1000000.0 / sent_wfl_cnt) * FLOOR(ABS((sent_wfl_fp / 1000000.0 / sent_wfl_cnt) * 1000000) + 0.5) / 1000000.0 END AS wfl_sent_avg,
        ROUND(rarity, 6) AS rarity
 FROM docf
 JOIN uniq USING (doc_id)

@@ -44,7 +44,10 @@ from tscan_spark.functions.scalars import (
 )
 
 SEM_CLASSES = ["CONCRETE", "ABSTRACT", "HUMAN"]
-CONN_CLASSES = ["CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF", "OPSOMMEND_WG"]
+CONN_CLASSES = [
+    "CAUSAAL", "TEMPOREEL", "CONTRASTIEF", "COMPARATIEF",
+    "OPSOMMEND_WG", "OPSOMMEND_ZIN",
+]
 SIT_CLASSES = ["TIME", "SPACE", "EMOTION", "CAUSE"]
 
 DENSITY_FLAGS = [
@@ -147,6 +150,16 @@ def _word_grain(
         .alias("is_compound3"),
         *band_cols,
         F.round(F.col("wf_freq_log"), 6).alias("wfl_r"),
+        # W5 morpheme count (Morf_per_wrd arms, structstats.cxx:189-192)
+        F.size(annotate.morphemes_expr(F.col("word"), F.col("tag")))
+        .cast("int")
+        .alias("morph_cnt"),
+        # name analog: the engine's established ISNAME stand-in is the
+        # HUMAN semantic class (same convention as the mtld_names
+        # stream) — feeds every *_zn (zonder namen) variant
+        F.coalesce((F.col("noun_sem") == "HUMAN").cast("int"), F.lit(0)).alias(
+            "is_name"
+        ),
     )
 
 
@@ -252,6 +265,39 @@ def doc_ratios(
             "word_freq_log_nw_corr"
         ),
     ]
+    # --- morpheme + zonder-namen (ex-name) wordDifficulties arms
+    # (structstats.cxx:185-192 Let/Morf per wrd +/- zn; 193-194 Namen;
+    # 218-221 *_zn freq-log variants; compound 279-280 zn_corr) ---
+    is_name = F.col("is_name") == 1
+    zn_gate = content_gate & ~is_name
+    strict_zn_gate = strict_gate & ~is_name
+    n_zn = F.sum(F.when(zn_gate, 1).otherwise(0))
+    n_strict_zn = F.sum(F.when(strict_zn_gate, 1).otherwise(0))
+    aggs += [
+        cnt(is_name, "name_cnt"),
+        F.sum("morph_cnt").cast("long").alias("morph_sum"),
+        F.sum(F.when(~is_name, F.col("morph_cnt")).otherwise(0))
+        .cast("long")
+        .alias("morph_zn_sum"),
+        F.sum(F.when(~is_name, F.col("char_cnt")).otherwise(0))
+        .cast("long")
+        .alias("char_zn_sum"),
+        csum(tag == "N", "char_corr", "char_noun_corr_sum"),
+        F.sum(F.when(is_comp, annotate.COMPOUND_SAT_LEN).otherwise(0))
+        .cast("long")
+        .alias("char_sat_sum"),
+        fp_mean(F.when(zn_gate, F.col("wfl_r")), n_zn).alias("word_freq_log_zn"),
+        fp_mean(F.when(zn_gate, F.col("lfl_r")), n_zn).alias("lemma_freq_log_zn"),
+        fp_mean(F.when(strict_zn_gate, F.col("wfl_r")), n_strict_zn).alias(
+            "word_freq_log_zn_strict"
+        ),
+        fp_mean(F.when(strict_zn_gate, F.col("lfl_r")), n_strict_zn).alias(
+            "lemma_freq_log_zn_strict"
+        ),
+        fp_mean(
+            F.when(strict_zn_gate, F.col("word_freq_log_corr")), n_strict_zn
+        ).alias("word_freq_log_corr_zn_strict"),
+    ]
     # persoonlijkheid block: personal-pronoun person counts
     # (persoonlijkheidToCSV pers_pron_1/2/3, structstats.cxx:1118-1120)
     for p in (1, 2, 3):
@@ -304,8 +350,22 @@ def doc_ratios(
     # reference-shaped ratio select (wordDifficulties/compoundToCSV,
     # structstats.cxx:185-313) over the counters above
     r6 = lambda c: F.round(c, 6)
+    wc_zn = F.col("word_cnt") - F.col("name_cnt")
     ratio_cols = [
+        r6(proportion("char_sum_r", "word_cnt")).alias("let_per_wrd"),
         r6(proportion("word_cnt", "char_sum_r")).alias("wrd_per_let"),
+        r6(proportion(F.col("char_zn_sum"), wc_zn)).alias("let_per_wrd_zn"),
+        r6(proportion(wc_zn, F.col("char_zn_sum"))).alias("wrd_per_let_zn"),
+        r6(proportion("morph_sum", "word_cnt")).alias("morf_per_wrd"),
+        r6(proportion("word_cnt", "morph_sum")).alias("wrd_per_morf"),
+        r6(proportion(F.col("morph_zn_sum"), wc_zn)).alias("morf_per_wrd_zn"),
+        r6(proportion(wc_zn, F.col("morph_zn_sum"))).alias("wrd_per_morf_zn"),
+        r6(
+            proportion(F.col("name_cnt"), F.col("name_cnt") + F.col("noun_cnt"))
+        ).alias("namen_p"),
+        r6(density("name_cnt", "word_cnt")).alias("namen_d"),
+        r6(proportion("char_sat_sum", "compound_cnt")).alias("let_per_wrd_satwrd"),
+        r6(proportion("char_noun_corr_sum", "noun_cnt")).alias("let_per_wrd_nw_corr"),
         r6(proportion("char_noun_sum", "noun_cnt")).alias("let_per_wrd_nw"),
         r6(proportion("char_noncomp_sum", "noncomp_noun_cnt")).alias(
             "let_per_wrd_nsam"
@@ -364,6 +424,11 @@ def doc_ratios_columns() -> list[str]:
         "lemma_freq_log", "lemma_freq_log_strict",
         "word_freq_log_nw", "word_freq_log_ong_nw", "word_freq_log_sam_nw",
         "word_freq_log_nw_corr",
+        "name_cnt", "morph_sum", "morph_zn_sum", "char_zn_sum",
+        "char_noun_corr_sum", "char_sat_sum",
+        "word_freq_log_zn", "lemma_freq_log_zn",
+        "word_freq_log_zn_strict", "lemma_freq_log_zn_strict",
+        "word_freq_log_corr_zn_strict",
     ]
     cols += [f"pron{p}_cnt" for p in (1, 2, 3)]
     cols += [f"{b}_cnt" for b, _ in lexicons.STAPH_BANDS]
@@ -379,7 +444,10 @@ def doc_ratios_columns() -> list[str]:
     cols += [f"conn_{c.lower()}_d" for c in CONN_CLASSES]
     cols += [f"sit_{c.lower()}_d" for c in SIT_CLASSES]
     cols += [
-        "wrd_per_let", "let_per_wrd_nw", "let_per_wrd_nsam",
+        "let_per_wrd", "wrd_per_let", "let_per_wrd_zn", "wrd_per_let_zn",
+        "morf_per_wrd", "wrd_per_morf", "morf_per_wrd_zn", "wrd_per_morf_zn",
+        "namen_p", "namen_d", "let_per_wrd_satwrd", "let_per_wrd_nw_corr",
+        "let_per_wrd_nw", "let_per_wrd_nsam",
         "let_per_wrd_sam", "let_per_wrd_corr", "samenst_p",
         "samenst3_d", "samenst3_p",
     ]
@@ -481,6 +549,35 @@ def sql_doc_ratios() -> str:
         sql_fp_mean("CASE WHEN tag = 'N' THEN word_freq_log_corr END", n_noun)
         + " AS word_freq_log_nw_corr",
     ]
+    # morpheme + zonder-namen arms (mirrors the Spark aggs)
+    zn_gate = f"{content_gate} AND is_name = 0"
+    strict_zn_gate = f"{strict_gate} AND is_name = 0"
+    n_zn = f"SUM(CASE WHEN {zn_gate} THEN 1 ELSE 0 END)"
+    n_strict_zn = f"SUM(CASE WHEN {strict_zn_gate} THEN 1 ELSE 0 END)"
+    lines += [
+        "CAST(SUM(is_name) AS BIGINT) AS name_cnt",
+        "CAST(SUM(morph_cnt) AS BIGINT) AS morph_sum",
+        "CAST(SUM(CASE WHEN is_name = 0 THEN morph_cnt ELSE 0 END) AS BIGINT)"
+        " AS morph_zn_sum",
+        "CAST(SUM(CASE WHEN is_name = 0 THEN char_cnt ELSE 0 END) AS BIGINT)"
+        " AS char_zn_sum",
+        "CAST(SUM(CASE WHEN tag = 'N' THEN char_corr ELSE 0 END) AS BIGINT)"
+        " AS char_noun_corr_sum",
+        f"CAST(SUM(CASE WHEN {is_comp} THEN {annotate.COMPOUND_SAT_LEN} ELSE 0 END)"
+        " AS BIGINT) AS char_sat_sum",
+        sql_fp_mean(f"CASE WHEN {zn_gate} THEN wfl_r END", n_zn)
+        + " AS word_freq_log_zn",
+        sql_fp_mean(f"CASE WHEN {zn_gate} THEN lfl_r END", n_zn)
+        + " AS lemma_freq_log_zn",
+        sql_fp_mean(f"CASE WHEN {strict_zn_gate} THEN wfl_r END", n_strict_zn)
+        + " AS word_freq_log_zn_strict",
+        sql_fp_mean(f"CASE WHEN {strict_zn_gate} THEN lfl_r END", n_strict_zn)
+        + " AS lemma_freq_log_zn_strict",
+        sql_fp_mean(
+            f"CASE WHEN {strict_zn_gate} THEN word_freq_log_corr END", n_strict_zn
+        )
+        + " AS word_freq_log_corr_zn_strict",
+    ]
     for p in (1, 2, 3):
         lines.append(
             f"CAST(SUM(CASE WHEN pron_person = {p} THEN 1 ELSE 0 END) AS BIGINT)"
@@ -560,8 +657,22 @@ def sql_doc_ratios() -> str:
     lines_sql = ",\n           ".join(lines)
     dens_sql = ",\n       ".join(dens)
     # reference-shaped ratio select (mirrors the Spark ratio_cols list)
+    wc_zn = "(word_cnt - name_cnt)"
     ratios = [
+        f"ROUND({sql_proportion('char_sum_r', 'word_cnt')}, 6) AS let_per_wrd",
         f"ROUND({sql_proportion('word_cnt', 'char_sum_r')}, 6) AS wrd_per_let",
+        f"ROUND({sql_proportion('char_zn_sum', wc_zn)}, 6) AS let_per_wrd_zn",
+        f"ROUND({sql_proportion(wc_zn, 'char_zn_sum')}, 6) AS wrd_per_let_zn",
+        f"ROUND({sql_proportion('morph_sum', 'word_cnt')}, 6) AS morf_per_wrd",
+        f"ROUND({sql_proportion('word_cnt', 'morph_sum')}, 6) AS wrd_per_morf",
+        f"ROUND({sql_proportion('morph_zn_sum', wc_zn)}, 6) AS morf_per_wrd_zn",
+        f"ROUND({sql_proportion(wc_zn, 'morph_zn_sum')}, 6) AS wrd_per_morf_zn",
+        f"ROUND({sql_proportion('name_cnt', '(name_cnt + noun_cnt)')}, 6) AS namen_p",
+        f"ROUND({sql_density('name_cnt', 'word_cnt')}, 6) AS namen_d",
+        f"ROUND({sql_proportion('char_sat_sum', 'compound_cnt')}, 6)"
+        " AS let_per_wrd_satwrd",
+        f"ROUND({sql_proportion('char_noun_corr_sum', 'noun_cnt')}, 6)"
+        " AS let_per_wrd_nw_corr",
         f"ROUND({sql_proportion('char_noun_sum', 'noun_cnt')}, 6) AS let_per_wrd_nw",
         f"ROUND({sql_proportion('char_noncomp_sum', 'noncomp_noun_cnt')}, 6)"
         " AS let_per_wrd_nsam",
@@ -626,7 +737,9 @@ wg AS (
                 {annotate.COMPOUND_MIN_LEN + annotate.COMPOUND_SAT_LEN}
                 THEN 1 ELSE 0 END AS is_compound3,
            {band_flags_sql},
-           ROUND(w.wf_freq_log, 6) AS wfl_r
+           ROUND(w.wf_freq_log, 6) AS wfl_r,
+           CAST(len({annotate.sql_morphemes("a.word", "tag")}) AS INT) AS morph_cnt,
+           CASE WHEN noun_sem = 'HUMAN' THEN 1 ELSE 0 END AS is_name
     FROM (SELECT annot_ext.*, {sat_expr} AS comp_sat FROM annot_ext) a
     LEFT JOIN wfreq_b w ON w.word = a.word
     LEFT JOIN wfreq hf ON hf.word = a.comp_head
@@ -785,7 +898,14 @@ def word_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The word-grain output vector (wordStats::toCSV,
     /root/reference/src/wordstats.cxx:396-682): every per-word
     classifier + frequency/band feature in one row per token — the S9
-    word-level CSV sink shape."""
+    word-level CSV sink shape, covering the reference's full 56-column
+    battery: wordSort strings (morphemes/full-lemma/compound),
+    per-word wordDifficulties with ISNAME NA-masking (wordstats.cxx:
+    451-520), concreet semantic-type block (539-587), per-word compound
+    block (589-632), persoonlijkheid pronoun/name block (636-652), and
+    the misc verb-form/logprob block (655-682)."""
+    from tscan_spark import vocab_dim
+
     documents = corpus.load(spark, sf_dir, "documents")
     tok = annotate.annotate_extended(annotate.annotate(corpus.tokens_long(documents)))
     wf = lexicons.with_staph_bands(
@@ -799,22 +919,51 @@ def word_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     hf = lexicons.word_freq(documents).select(
         F.col("word").alias("comp_head"),
         F.col("wf_count").alias("head_count"),
+        F.col("wf_rank").alias("head_rank"),
     )
     tok = tok.join(F.broadcast(hf), "comp_head", "left")
     is_comp = F.col("is_compound") == 1
+    comp_sat = F.when(
+        is_comp,
+        F.substr(
+            F.col("word"),
+            F.length("word") - F.lit(annotate.COMPOUND_SAT_LEN - 1),
+            F.lit(annotate.COMPOUND_SAT_LEN),
+        ),
+    )
+    tok = tok.withColumn("comp_sat", comp_sat)
+    sf = lexicons.word_freq(documents).select(
+        F.col("word").alias("comp_sat"),
+        F.col("wf_count").alias("sat_count"),
+        F.col("wf_rank").alias("sat_rank"),
+    )
+    tok = tok.join(F.broadcast(sf), "comp_sat", "left")
     head_fl = F.when(
         is_comp,
         freq_log(F.coalesce(F.col("head_count"), F.lit(0)), F.col("wf_total")),
     )
+    sat_fl = F.when(
+        is_comp,
+        freq_log(F.coalesce(F.col("sat_count"), F.lit(0)), F.col("wf_total")),
+    )
+    morphs = annotate.morphemes_expr(F.col("word"), F.col("tag"))
+    morph_cnt = F.size(morphs)
+    is_name = F.coalesce((F.col("noun_sem") == "HUMAN").cast("int"), F.lit(0))
+    not_name = is_name == 0
+    wfl = F.round("wf_freq_log", 6)
+    lfl = F.round("lf_freq_log", 6)
+    wfl_corr = F.round(F.when(is_comp, head_fl).otherwise(F.col("wf_freq_log")), 6)
+    sem = F.col("noun_sem")
     extra = [
-        F.round("lf_freq_log", 6).alias("lemma_freq_log"),
+        lfl.alias("lemma_freq_log"),
         F.col("prev_pct"),
         F.col("prev_z"),
         F.round(head_fl, 6).alias("head_freq_log"),
-        F.round(F.when(is_comp, head_fl).otherwise(F.col("wf_freq_log")), 6).alias(
-            "word_freq_log_corr"
-        ),
+        wfl_corr.alias("word_freq_log_corr"),
     ]
+    r6 = lambda c: F.round(c, 6)
+    head_rank = F.coalesce(F.col("head_rank"), F.lit(10**9))
+    sat_rank = F.coalesce(F.col("sat_rank"), F.lit(10**9))
     return tok.select(
         "doc_id",
         "par_idx",
@@ -840,15 +989,92 @@ def word_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verb_form",
         F.col("pron_person").cast("int").alias("pron_person"),
         "adj_pos",
-        F.round("wf_freq_log", 6).alias("word_freq_log"),
+        wfl.alias("word_freq_log"),
         F.col("wf_rank").cast("int").alias("word_freq_rank"),
         *extra,
         *[F.col(f"is_{b}").cast("int").alias(f"is_{b}") for b, _ in lexicons.BANDS],
         *[F.col(f"is_{b}").cast("int").alias(f"is_{b}") for b, _ in lexicons.STAPH_BANDS],
+        # --- wordSort strings (wordstats.cxx:413-438) ---
+        F.concat(F.lit("["), F.array_join(morphs, "]["), F.lit("]")).alias(
+            "morphemes_str"
+        ),
+        F.when(is_comp, F.concat_ws("_", morphs)).otherwise("-").alias("compound_str"),
+        F.when(is_comp, F.concat_ws("_", morphs)).otherwise(F.col("lemma")).alias(
+            "full_lemma"
+        ),
+        # --- per-word wordDifficulties with ISNAME NA-mask (451-520) ---
+        F.col("char_cnt").cast("double").alias("let_per_wrd"),
+        r6(F.lit(1.0) / F.col("char_cnt")).alias("wrd_per_let"),
+        F.when(not_name, F.col("char_cnt").cast("double")).alias("let_per_wrd_zn"),
+        F.when(not_name, r6(F.lit(1.0) / F.col("char_cnt"))).alias("wrd_per_let_zn"),
+        morph_cnt.cast("double").alias("morf_per_wrd"),
+        r6(F.lit(1.0) / morph_cnt).alias("wrd_per_morf"),
+        F.when(not_name, morph_cnt.cast("double")).alias("morf_per_wrd_zn"),
+        F.when(not_name, r6(F.lit(1.0) / morph_cnt)).alias("wrd_per_morf_zn"),
+        F.when(not_name, wfl).alias("word_freq_log_zn"),
+        F.when(not_name, wfl_corr).alias("word_freq_log_corr_zn"),
+        F.when(not_name, lfl).alias("lemma_freq_log_zn"),
+        # --- concreet block (539-587) ---
+        F.when((F.col("tag") == "N") | (is_name == 1), sem).alias("semtype_nw"),
+        F.when(
+            F.col("tag") == "N",
+            annotate.lexicon_map(vocab_dim.GENERAL_NOUNS, F.col("lemma")),
+        ).alias("alg_nw"),
+        F.coalesce(((sem == "CONCRETE") & (F.col("tag") == "N")).cast("int"), F.lit(0))
+        .alias("conc_nw_strikt"),
+        F.coalesce((sem == "CONCRETE").cast("int"), F.lit(0)).alias("conc_nw_ruim"),
+        F.when(F.col("tag") == "ADJ", sem).alias("semtype_bvnw"),
+        F.coalesce(((sem == "CONCRETE") & (F.col("tag") == "ADJ")).cast("int"), F.lit(0))
+        .alias("conc_bvnw_strikt"),
+        F.coalesce(
+            (sem.isin("CONCRETE", "HUMAN") & (F.col("tag") == "ADJ")).cast("int"),
+            F.lit(0),
+        ).alias("conc_bvnw_ruim"),
+        F.when(
+            F.col("tag") == "WW",
+            annotate.lexicon_map(vocab_dim.GENERAL_VERBS, F.col("lemma")),
+        ).alias("alg_ww"),
+        # --- per-word compound block (589-632) ---
+        F.when(is_comp, morph_cnt).cast("int").alias("compound_parts"),
+        F.when(is_comp, F.lit(annotate.COMPOUND_SAT_LEN)).cast("int").alias(
+            "charcnt_sat"
+        ),
+        F.round(sat_fl, 6).alias("sat_freq_log"),
+        F.round((head_fl + sat_fl) / 2.0, 6).alias("head_sat_freq_log"),
+        F.when(is_comp, (head_rank <= 1000).cast("int")).alias("is_top1000_head"),
+        F.when(is_comp, (head_rank <= 5000).cast("int")).alias("is_top5000_head"),
+        F.when(is_comp, (head_rank <= 20000).cast("int")).alias("is_top20000_head"),
+        F.when(is_comp, (sat_rank <= 1000).cast("int")).alias("is_top1000_sat"),
+        F.when(is_comp, (sat_rank <= 5000).cast("int")).alias("is_top5000_sat"),
+        F.when(is_comp, (sat_rank <= 20000).cast("int")).alias("is_top20000_sat"),
+        # --- persoonlijkheid block (636-652) ---
+        is_name.alias("is_name"),
+        *[
+            F.coalesce((F.col("pron_person") == p).cast("int"), F.lit(0)).alias(
+                f"pers_vnw{p}"
+            )
+            for p in (1, 2, 3)
+        ],
+        F.col("pron_person").isNotNull().cast("int").alias("pers_vnw"),
+        # --- misc block (655-682): verb-form booleans + synthetic LM
+        # logprobs (same formula as operators/surprisal.py fwd; bwd uses
+        # the position from the sentence END) ---
+        F.coalesce((F.col("verb_form") == "pv").cast("int"), F.lit(0)).alias("ww_tt"),
+        F.coalesce((F.col("verb_form") == "inf").cast("int"), F.lit(0)).alias(
+            "ww_inf"
+        ),
+        r6(-wfl / 3.7 - (F.col("word_idx") % 7) / 19.0).alias("logprob10_fwd"),
+        r6(
+            -wfl / 3.7
+            - ((F.lit(corpus.SENT_LEN - 1) - F.col("word_idx") % corpus.SENT_LEN) % 7)
+            / 19.0
+        ).alias("logprob10_bwd"),
     )
 
 
 def sql_word_csv() -> str:
+    from tscan_spark import vocab_dim
+
     flag_cols = ", ".join(
         [
             "is_content", "is_content_strict", "is_neg", "is_morph_neg",
@@ -859,11 +1085,34 @@ def sql_word_csv() -> str:
     band_cols = ", ".join(
         [f"is_{b}" for b, _ in lexicons.BANDS] + [f"is_{b}" for b, _ in lexicons.STAPH_BANDS]
     )
+    is_comp = "a.is_compound = 1"
     head_fl = (
-        "CASE WHEN a.is_compound = 1 THEN "
+        f"CASE WHEN {is_comp} THEN "
         + sql_freq_log("COALESCE(hf.wf_count, 0)", "w2.wf_total")
         + " END"
     )
+    sat_fl = (
+        f"CASE WHEN {is_comp} THEN "
+        + sql_freq_log("COALESCE(sfr.wf_count, 0)", "w2.wf_total")
+        + " END"
+    )
+    sat_expr = (
+        f"CASE WHEN is_compound = 1 THEN "
+        f"substring(word, length(word) - {annotate.COMPOUND_SAT_LEN - 1}) END"
+    )
+    morphs = annotate.sql_morphemes("a.word", "a.tag")
+    wfl = "ROUND(w.wf_freq_log, 6)"
+    lfl = "ROUND(lfr.lf_freq_log, 6)"
+    wfl_corr = (
+        f"ROUND(CASE WHEN {is_comp} THEN ({head_fl}) ELSE w2.wf_freq_log END, 6)"
+    )
+    is_name = "CASE WHEN a.noun_sem = 'HUMAN' THEN 1 ELSE 0 END"
+    not_name = "COALESCE(a.noun_sem, '') <> 'HUMAN'"
+    gen_nw = annotate.sql_case_map("a.lemma", vocab_dim.GENERAL_NOUNS)
+    gen_ww = annotate.sql_case_map("a.lemma", vocab_dim.GENERAL_VERBS)
+    head_rank = "COALESCE(hf.wf_rank, 1000000000)"
+    sat_rank = "COALESCE(sfr.wf_rank, 1000000000)"
+    sent_last = corpus.SENT_LEN - 1
     return (
         "WITH "
         + corpus.SQL_TOK_CTE.strip()
@@ -885,25 +1134,83 @@ stb AS (
            {", ".join(f"b.is_{b}" for b, _ in lexicons.BANDS)},
            {", ".join(f"s.is_{b}" for b, _ in lexicons.STAPH_BANDS)}
     FROM staph_b s JOIN wfreq_b b USING (word)
+),
+ax AS (
+    SELECT annot_ext.*, {sat_expr} AS comp_sat FROM annot_ext
 )
 SELECT a.doc_id, a.par_idx, a.sent_idx, a.word_idx, a.word, a.l_word, a.lemma,
        a.tag, CAST(a.char_cnt AS INT) AS char_cnt,
        {flag_cols},
-       ROUND(lfr.lf_freq_log, 6) AS lemma_freq_log,
+       {lfl} AS lemma_freq_log,
        pv.prev_pct, pv.prev_z,
        ROUND({head_fl}, 6) AS head_freq_log,
-       ROUND(CASE WHEN a.is_compound = 1 THEN ({head_fl})
-                  ELSE w2.wf_freq_log END, 6) AS word_freq_log_corr,
+       {wfl_corr} AS word_freq_log_corr,
        a.comp_head, CAST(a.comp_head_len AS INT) AS comp_head_len,
        a.noun_sem, a.adverb_type, a.afk_domain, a.conn_type, a.sit_type,
        a.verb_form, CAST(a.pron_person AS INT) AS pron_person, a.adj_pos,
-       ROUND(w.wf_freq_log, 6) AS word_freq_log,
+       {wfl} AS word_freq_log,
        CAST(w.wf_rank AS INT) AS word_freq_rank,
-       {band_cols}
-FROM annot_ext a
-LEFT JOIN stb w USING (word)
+       {band_cols},
+       '[' || array_to_string({morphs}, '][') || ']' AS morphemes_str,
+       CASE WHEN {is_comp} THEN array_to_string({morphs}, '_')
+            ELSE '-' END AS compound_str,
+       CASE WHEN {is_comp} THEN array_to_string({morphs}, '_')
+            ELSE a.lemma END AS full_lemma,
+       CAST(a.char_cnt AS DOUBLE) AS let_per_wrd,
+       ROUND(1.0 / a.char_cnt, 6) AS wrd_per_let,
+       CASE WHEN {not_name} THEN CAST(a.char_cnt AS DOUBLE) END AS let_per_wrd_zn,
+       CASE WHEN {not_name} THEN ROUND(1.0 / a.char_cnt, 6) END AS wrd_per_let_zn,
+       CAST(len({morphs}) AS DOUBLE) AS morf_per_wrd,
+       ROUND(1.0 / len({morphs}), 6) AS wrd_per_morf,
+       CASE WHEN {not_name} THEN CAST(len({morphs}) AS DOUBLE) END AS morf_per_wrd_zn,
+       CASE WHEN {not_name} THEN ROUND(1.0 / len({morphs}), 6) END AS wrd_per_morf_zn,
+       CASE WHEN {not_name} THEN {wfl} END AS word_freq_log_zn,
+       CASE WHEN {not_name} THEN {wfl_corr} END AS word_freq_log_corr_zn,
+       CASE WHEN {not_name} THEN {lfl} END AS lemma_freq_log_zn,
+       CASE WHEN a.tag = 'N' OR ({is_name}) = 1 THEN a.noun_sem END AS semtype_nw,
+       CASE WHEN a.tag = 'N' THEN {gen_nw} END AS alg_nw,
+       CASE WHEN a.noun_sem = 'CONCRETE' AND a.tag = 'N' THEN 1 ELSE 0 END
+           AS conc_nw_strikt,
+       CASE WHEN a.noun_sem = 'CONCRETE' THEN 1 ELSE 0 END AS conc_nw_ruim,
+       CASE WHEN a.tag = 'ADJ' THEN a.noun_sem END AS semtype_bvnw,
+       CASE WHEN a.noun_sem = 'CONCRETE' AND a.tag = 'ADJ' THEN 1 ELSE 0 END
+           AS conc_bvnw_strikt,
+       CASE WHEN a.noun_sem IN ('CONCRETE', 'HUMAN') AND a.tag = 'ADJ'
+            THEN 1 ELSE 0 END AS conc_bvnw_ruim,
+       CASE WHEN a.tag = 'WW' THEN {gen_ww} END AS alg_ww,
+       CAST(CASE WHEN {is_comp} THEN len({morphs}) END AS INT) AS compound_parts,
+       CAST(CASE WHEN {is_comp} THEN {annotate.COMPOUND_SAT_LEN} END AS INT)
+           AS charcnt_sat,
+       ROUND({sat_fl}, 6) AS sat_freq_log,
+       ROUND((({head_fl}) + ({sat_fl})) / 2.0, 6) AS head_sat_freq_log,
+       CASE WHEN {is_comp} THEN
+            CASE WHEN {head_rank} <= 1000 THEN 1 ELSE 0 END END AS is_top1000_head,
+       CASE WHEN {is_comp} THEN
+            CASE WHEN {head_rank} <= 5000 THEN 1 ELSE 0 END END AS is_top5000_head,
+       CASE WHEN {is_comp} THEN
+            CASE WHEN {head_rank} <= 20000 THEN 1 ELSE 0 END END AS is_top20000_head,
+       CASE WHEN {is_comp} THEN
+            CASE WHEN {sat_rank} <= 1000 THEN 1 ELSE 0 END END AS is_top1000_sat,
+       CASE WHEN {is_comp} THEN
+            CASE WHEN {sat_rank} <= 5000 THEN 1 ELSE 0 END END AS is_top5000_sat,
+       CASE WHEN {is_comp} THEN
+            CASE WHEN {sat_rank} <= 20000 THEN 1 ELSE 0 END END AS is_top20000_sat,
+       {is_name} AS is_name,
+       CASE WHEN a.pron_person = 1 THEN 1 ELSE 0 END AS pers_vnw1,
+       CASE WHEN a.pron_person = 2 THEN 1 ELSE 0 END AS pers_vnw2,
+       CASE WHEN a.pron_person = 3 THEN 1 ELSE 0 END AS pers_vnw3,
+       CASE WHEN a.pron_person IS NOT NULL THEN 1 ELSE 0 END AS pers_vnw,
+       CASE WHEN a.verb_form = 'pv' THEN 1 ELSE 0 END AS ww_tt,
+       CASE WHEN a.verb_form = 'inf' THEN 1 ELSE 0 END AS ww_inf,
+       ROUND(-({wfl}) / 3.7 - (a.word_idx % 7) / 19.0, 6) AS logprob10_fwd,
+       ROUND(-({wfl}) / 3.7
+             - (({sent_last} - a.word_idx % {corpus.SENT_LEN}) % 7) / 19.0, 6)
+           AS logprob10_bwd
+FROM ax a
+LEFT JOIN stb w ON w.word = a.word
 LEFT JOIN wfreq w2 ON w2.word = a.word
 LEFT JOIN wfreq hf ON hf.word = a.comp_head
+LEFT JOIN wfreq sfr ON sfr.word = a.comp_sat
 LEFT JOIN lemfreq lfr ON lfr.lemma = a.lemma
 LEFT JOIN prev pv ON pv.lemma = a.lemma"""
     )

@@ -726,10 +726,21 @@ def q_verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("parse_dep_pairs", oracle=parse.sql_dep_pair_distances())
 def q_dep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 widen: mean dependency distance per pair type (the AL_*
-    table, Alpino.cxx:294-614 + MMtoString structstats.cxx:408-425) —
-    8 pair types expressible in the synthetic rel/cat space."""
+    """P1: mean dependency distance per pair type — ALL 17 DD_types
+    (Alpino.h:45-48; getDependencyDist Alpino.cxx:294-614; MMtoString
+    columns AL_sub_ww..AL_ww_znwbwp + AL_gem, structstats.cxx:326-330,
+    391-409) over the full-space node attributes (fine_rel x lcat x
+    head pos)."""
     return parse.dep_pair_distances(spark, sf_dir)
+
+
+@query("tscan_nominalization", oracle=parse.sql_nominalization())
+def q_nominalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W24 checkNominal FULL rule (wordstats.cxx:61-138): morpheme-final
+    suffix with plural strip, >4-char tail match, single-morpheme word
+    tail match, and the Alpino verb-under-NP variant — each arm emitted
+    separately at token grain."""
+    return parse.nominalization(spark, sf_dir)
 
 
 @query("parse_verb_doc", oracle=parse.sql_verb_doc_summary())
@@ -808,15 +819,22 @@ _PROFILE_PARTS: list[tuple[str, list[str]]] = [
             "word_cnt", "neg_cnt", "intens_cnt", "formal_cnt",
             "conn_causaal_cnt", "conn_temporeel_cnt", "conn_contrastief_cnt",
             "conn_comparatief_cnt", "conn_opsommend_wg_cnt",
+            "conn_opsommend_zin_cnt",
             "sit_time_cnt", "sit_space_cnt", "sit_emotion_cnt", "sit_cause_cnt",
             "morph_neg_cnt", "pers_ref_cnt", "nominal_cnt", "compound_cnt",
             "sem_concrete_cnt", "sem_abstract_cnt", "sem_human_cnt",
             "morph_neg_d", "pers_ref_d", "nominal_d", "neg_d",
+            # morpheme sums/ratios also come from the annotation-dim
+            # battery (tscan_general_doc_features) — keep that provenance
+            "morph_sum", "morf_per_wrd", "wrd_per_morf",
+            # emitted by the base battery / the cross-battery ratio block
+            "let_per_wrd", "namen_p", "namen_d",
         ],
     ),
     ("parse_doc_summary", ["sent_cnt"]),
     ("parse_verb_doc", ["sent_cnt"]),
-    ("parse_dep_pairs", []),
+    # al_gem: the profile keeps parse_dep_distance's avg-of-avgs AL_gem
+    ("parse_dep_pairs", ["al_gem"]),
     # AL_gem / AL_max top predictors (structstats.cxx:193, 408-425)
     ("parse_dep_distance", ["sent_cnt"]),
     # MTLD battery incl. MTLD_inhwrd_zonder_abw top predictor
@@ -895,6 +913,7 @@ _PROFILE_RATIOS: list[tuple[str, str, str, str]] = [
     ("conn_contrastief_dz", "conn_contrastief_cnt", "corrected_clause_cnt", "prop"),
     ("conn_comparatief_dz", "conn_comparatief_cnt", "corrected_clause_cnt", "prop"),
     ("conn_opsommend_wg_dz", "conn_opsommend_wg_cnt", "corrected_clause_cnt", "prop"),
+    ("conn_opsommend_zin_dz", "conn_opsommend_zin_cnt", "corrected_clause_cnt", "prop"),
     # persoonlijkheid block: per-person pronoun densities
     ("pers_vnw1_d", "pron1_cnt", "word_cnt", "dens"),
     ("pers_vnw2_d", "pron2_cnt", "word_cnt", "dens"),
@@ -943,7 +962,22 @@ def _profile_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grain = _profile_grain(spark, sf_dir)
+    """Single-pass plan: ONE persisted annotated token grain feeds every
+    token-level battery and ONE persisted parse-node grain (derived from
+    the same token grain) feeds every parse battery — the profile's
+    ~12 aggregation paths read the two in-memory grains instead of 12
+    separate document scans (the round-2 multi-scan finding). Only
+    doc_mtld keeps its own narrow documents scan (shuffle-free Arrow
+    kernel by design) => <= 3 source scans total. Cache ownership
+    follows the tscan_spark.cache contract (the caller — bench, tests,
+    the driver — releases after consuming); at corpus scale the same
+    topology materializes the two grains to staging tables instead of
+    memory.
+    """
+    from tscan_spark.cache import with_cache
+
+    grain = _profile_grain(spark, sf_dir).persist()
+    nodes = parse.parse_nodes(spark, sf_dir, tok=grain).persist()
     builders = {
         "tscan_doc_features": lambda: pipeline.doc_features(spark, sf_dir, wordf=grain),
         "tscan_doc_features_ext": lambda: pipeline_ext.doc_features_ext(
@@ -953,6 +987,19 @@ def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, wordf=grain
         ),
         "prevalence_features": lambda: _prevalence_agg(spark, sf_dir, grain),
+        "parse_doc_summary": lambda: parse.doc_parse_summary(
+            spark, sf_dir, nodes=nodes
+        ),
+        "parse_verb_doc": lambda: parse.verb_doc_summary(spark, sf_dir, nodes=nodes),
+        "parse_dep_pairs": lambda: parse.dep_pair_distances(
+            spark, sf_dir, nodes=nodes
+        ),
+        "parse_dep_distance": lambda: parse.dep_distance(spark, sf_dir, nodes=nodes),
+        "ner_features": lambda: ner.ner_features(spark, sf_dir, tok=grain),
+        "np_chunk_features": lambda: ner.np_chunk_features(spark, sf_dir, tok=grain),
+        "tscan_general_doc_features": lambda: vocab_dim.general_doc_features(
+            spark, sf_dir, tok=grain
+        ),
     }
     out = None
     for name, drops in _PROFILE_PARTS:
@@ -960,12 +1007,16 @@ def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
         out = part if out is None else out.join(part, "doc_id")
     # cross-battery ratio block (same SQL strings as the oracle)
-    return out.select(
-        "*",
-        *[
-            F.expr(_profile_ratio_expr(num, den, kind)).alias(name)
-            for name, num, den, kind in _PROFILE_RATIOS
-        ],
+    return with_cache(
+        out.select(
+            "*",
+            *[
+                F.expr(_profile_ratio_expr(num, den, kind)).alias(name)
+                for name, num, den, kind in _PROFILE_RATIOS
+            ],
+        ),
+        grain,
+        nodes,
     )
 
 
@@ -1003,7 +1054,8 @@ def _profile_cols() -> list[list[str]]:
             "head_cnt", "imperative_sent_cnt", "sent_cnt",
         ],
         "parse_dep_pairs": ["doc_id"]
-        + [c for name, *_ in parse.AL_PAIRS for c in (f"{name}_cnt", name)],
+        + [c for name, *_ in parse.AL_PAIRS for c in (f"{name}_cnt", name)]
+        + ["al_gem"],
         "parse_dep_distance": [
             "doc_id", "al_gem", "al_max", "al_gem_flat", "sent_cnt",
         ],

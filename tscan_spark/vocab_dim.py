@@ -127,41 +127,10 @@ MY_CLASSIFICATION = {
 # ---------------------------------------------------------------------------
 
 
-def morphemes_expr(word: Column, tag: Column) -> Column:
-    """[prefix, rest] for morph-neg prefixed words; [head, sat] for
-    compounds; else [word]."""
-    prefix_arms = None
-    for p in annotate.MORPH_NEG_PREFIXES:
-        cond = word.startswith(p) & (F.length(word) > len(p))
-        arm = F.array(F.lit(p), F.substr(word, F.lit(len(p) + 1), F.length(word)))
-        prefix_arms = (
-            F.when(cond, arm) if prefix_arms is None else prefix_arms.when(cond, arm)
-        )
-    is_comp = (tag == "N") & (F.length(word) >= annotate.COMPOUND_MIN_LEN)
-    comp = F.array(
-        F.substr(word, F.lit(1), F.length(word) - annotate.COMPOUND_SAT_LEN),
-        F.substr(
-            word,
-            F.length(word) - F.lit(annotate.COMPOUND_SAT_LEN - 1),
-            F.lit(annotate.COMPOUND_SAT_LEN),
-        ),
-    )
-    return prefix_arms.when(is_comp, comp).otherwise(F.array(word))
-
-
-def sql_morphemes(col: str, tag_sql: str) -> str:
-    arms = []
-    for p in annotate.MORPH_NEG_PREFIXES:
-        arms.append(
-            f"WHEN {col} LIKE '{p}%' AND length({col}) > {len(p)} "
-            f"THEN ['{p}', substring({col}, {len(p) + 1})]"
-        )
-    arms.append(
-        f"WHEN ({tag_sql}) = 'N' AND length({col}) >= {annotate.COMPOUND_MIN_LEN} "
-        f"THEN [substring({col}, 1, length({col}) - {annotate.COMPOUND_SAT_LEN}), "
-        f"substring({col}, length({col}) - {annotate.COMPOUND_SAT_LEN - 1})]"
-    )
-    return "CASE " + " ".join(arms) + f" ELSE [{col}] END"
+# morpheme split rules moved to annotate.py (shared with the W24 full
+# nominalization arms); re-exported here for the dimension builders.
+morphemes_expr = annotate.morphemes_expr
+sql_morphemes = annotate.sql_morphemes
 
 
 def build_vocab_dim(documents: DataFrame) -> DataFrame:
@@ -356,12 +325,18 @@ FROM tok t JOIN vdim v USING (word)"""
     )
 
 
-def general_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def general_doc_features(
+    spark: SparkSession, sf_dir: str, tok: DataFrame | None = None
+) -> DataFrame:
     """W14 doc battery: per-class general-noun/verb counts + the 6
     derived boolean counters (generalMergeCounts analog)."""
     documents = corpus.load(spark, sf_dir, "documents")
-    tok = corpus.tokens_long(documents)
-    out = annotate_from_dim(tok, build_vocab_dim(documents))
+    if tok is None:
+        tok = corpus.tokens_long(documents)
+    out = annotate_from_dim(
+        tok.select("doc_id", "sent_idx", "word_idx", "word"),
+        build_vocab_dim(documents),
+    )
     aggs = [
         F.sum(F.when(F.col("general_noun_type").isNotNull(), 1).otherwise(0))
         .cast("long")
