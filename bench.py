@@ -64,6 +64,13 @@ def main() -> None:
         # drop any caches a query persisted so later queries aren't
         # penalized by leaked storage/GC pressure
         spark.catalog.clearCache()
+        # deterministic full GC BETWEEN queries (never inside a timed
+        # window): broadcast/shuffle cleanup and JIT/metaspace class
+        # unloading only happen at full GC, and ~60 wide codegen
+        # queries otherwise degrade the session tail 3-45x (measured;
+        # a periodic GC timer instead lands multi-second pauses inside
+        # whichever query is running when it fires)
+        spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)

@@ -962,22 +962,24 @@ def _profile_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass plan: ONE persisted annotated token grain feeds every
-    token-level battery and ONE persisted parse-node grain (derived from
-    the same token grain) feeds every parse battery — the profile's
-    ~12 aggregation paths read the two in-memory grains instead of 12
-    separate document scans (the round-2 multi-scan finding). Only
-    doc_mtld keeps its own narrow documents scan (shuffle-free Arrow
-    kernel by design) => <= 3 source scans total. Cache ownership
-    follows the tscan_spark.cache contract (the caller — bench, tests,
-    the driver — releases after consuming); at corpus scale the same
-    topology materializes the two grains to staging tables instead of
-    memory.
-    """
-    from tscan_spark.cache import with_cache
+    """Shared-grain plan: ONE annotated token grain feeds every
+    token-level battery and ONE parse-node grain (derived from the same
+    token grain) feeds every parse battery — the profile's ~12
+    aggregation paths share two analyzed lineages instead of 12
+    independent ones (the round-2 multi-scan finding).
 
-    grain = _profile_grain(spark, sf_dir).persist()
-    nodes = parse.parse_nodes(spark, sf_dir, tok=grain).persist()
+    Deliberately NOT persisted at this scale: both grains are pure
+    codegen projections over a small scan, and measured persist cost
+    exceeded the recompute (37s vs 27s at sf0.1 — cache materialization
+    is a barrier plus a columnar encode/decode per consumer). At corpus
+    scale the 12 redundant scans DO dominate; the production shape is
+    the same topology with the two grains materialized ONCE to staging
+    (Iceberg/parquet) tables and the batteries scanning the staging
+    tables — see jobs/run_features.py + operators/checkpoint.py for the
+    staging machinery.
+    """
+    grain = _profile_grain(spark, sf_dir)
+    nodes = parse.parse_nodes(spark, sf_dir, tok=grain)
     builders = {
         "tscan_doc_features": lambda: pipeline.doc_features(spark, sf_dir, wordf=grain),
         "tscan_doc_features_ext": lambda: pipeline_ext.doc_features_ext(
@@ -1007,16 +1009,12 @@ def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
         out = part if out is None else out.join(part, "doc_id")
     # cross-battery ratio block (same SQL strings as the oracle)
-    return with_cache(
-        out.select(
-            "*",
-            *[
-                F.expr(_profile_ratio_expr(num, den, kind)).alias(name)
-                for name, num, den, kind in _PROFILE_RATIOS
-            ],
-        ),
-        grain,
-        nodes,
+    return out.select(
+        "*",
+        *[
+            F.expr(_profile_ratio_expr(num, den, kind)).alias(name)
+            for name, num, den, kind in _PROFILE_RATIOS
+        ],
     )
 
 

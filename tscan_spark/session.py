@@ -98,11 +98,21 @@ def get_spark(
         # trigger is a stop-the-world full GC of the 32g heap, and at
         # 1min the pauses landed on random queries (5-20s inflation
         # moving between runs)
-        .config("spark.cleaner.periodicGC.interval", "30min")
-        # whole-stage codegen across ~50 wide queries fills the default
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("TSCAN_SPARK_PERIODIC_GC", "30min"),
+        )
+        # whole-stage codegen across ~60 wide queries fills the default
         # ~240m JIT code cache; once full the JVM stops compiling and
-        # late queries run interpreted (measured 3-10x slowdowns)
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # late queries run interpreted (measured 3-10x, later 10-45x
+        # slowdowns as the query battery grew) — reserve big and keep
+        # flushing enabled so cold compiled methods can be evicted
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("TSCAN_SPARK_CODE_CACHE", "2g")
+            + " -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONF.items():
