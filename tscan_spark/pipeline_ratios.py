@@ -297,6 +297,11 @@ def doc_ratios(
         fp_mean(
             F.when(strict_zn_gate, F.col("word_freq_log_corr")), n_strict_zn
         ).alias("word_freq_log_corr_zn_strict"),
+        # wrd_freq_log_zn_corr — the LiNT-1/2 predictor (structstats.cxx:
+        # 1005: proportion(word_freq_log_n_corr, contentCnt - nameCnt))
+        fp_mean(F.when(zn_gate, F.col("word_freq_log_corr")), n_zn).alias(
+            "word_freq_log_corr_zn"
+        ),
     ]
     # persoonlijkheid block: personal-pronoun person counts
     # (persoonlijkheidToCSV pers_pron_1/2/3, structstats.cxx:1118-1120)
@@ -428,7 +433,7 @@ def doc_ratios_columns() -> list[str]:
         "char_noun_corr_sum", "char_sat_sum",
         "word_freq_log_zn", "lemma_freq_log_zn",
         "word_freq_log_zn_strict", "lemma_freq_log_zn_strict",
-        "word_freq_log_corr_zn_strict",
+        "word_freq_log_corr_zn_strict", "word_freq_log_corr_zn",
     ]
     cols += [f"pron{p}_cnt" for p in (1, 2, 3)]
     cols += [f"{b}_cnt" for b, _ in lexicons.STAPH_BANDS]
@@ -577,6 +582,8 @@ def sql_doc_ratios() -> str:
             f"CASE WHEN {strict_zn_gate} THEN word_freq_log_corr END", n_strict_zn
         )
         + " AS word_freq_log_corr_zn_strict",
+        sql_fp_mean(f"CASE WHEN {zn_gate} THEN word_freq_log_corr END", n_zn)
+        + " AS word_freq_log_corr_zn",
     ]
     for p in (1, 2, 3):
         lines.append(
@@ -764,6 +771,8 @@ FROM agg"""
 # A1 widen: extended sentence-grain counter battery
 # ---------------------------------------------------------------------------
 
+SENT_TAGS = ["N", "ADJ", "WW", "BW", "VG", "VNW", "VZ", "TW"]
+
 SENT_EXT_FLAGS = [
     ("morph_neg", "is_morph_neg"),
     ("pers_ref", "is_pers_ref"),
@@ -803,6 +812,31 @@ def sentence_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in SEM_CLASSES:
         aggs.append(cnt(sem == c, f"sem_{c.lower()}_cnt"))
         aggs.append(cnt((sem == c) & (tag == "N"), f"sem_{c.lower()}_strict_cnt"))
+    # A1 widen, round 3: per-sentence POS counts, pronoun persons, name
+    # and adjective-position counters, char/morpheme sums — the arms of
+    # the reference's sentence fold (tscan.cxx:2126-2865) that previously
+    # existed only at doc grain
+    for t in SENT_TAGS:
+        aggs.append(cnt(tag == t, f"tag_{t.lower()}_cnt"))
+    for pnum in (1, 2, 3):
+        aggs.append(cnt(F.col("pron_person") == pnum, f"pron{pnum}_cnt"))
+    aggs += [
+        cnt(sem == "HUMAN", "name_cnt"),
+        cnt(F.col("adj_pos") == "prenom", "prenom_cnt"),
+        cnt(F.col("adj_pos") == "vrij", "vrij_cnt"),
+        F.sum("char_cnt").cast("long").alias("char_sum"),
+        F.sum(F.size(annotate.morphemes_expr(F.col("word"), tag)))
+        .cast("long")
+        .alias("morph_sum"),
+        cnt(
+            (tag == "N")
+            & (
+                F.length("word")
+                >= annotate.COMPOUND_MIN_LEN + annotate.COMPOUND_SAT_LEN
+            ),
+            "compound3_cnt",
+        ),
+    ]
     return tok.groupBy("doc_id", "par_idx", "sent_idx").agg(*aggs)
 
 
@@ -829,6 +863,12 @@ def sql_paragraph_features_ext() -> str:
     names += [f"sit_{c.lower()}_cnt" for c in SIT_CLASSES]
     for c in SEM_CLASSES:
         names += [f"sem_{c.lower()}_cnt", f"sem_{c.lower()}_strict_cnt"]
+    names += [f"tag_{t.lower()}_cnt" for t in SENT_TAGS]
+    names += [f"pron{p_}_cnt" for p_ in (1, 2, 3)]
+    names += [
+        "name_cnt", "prenom_cnt", "vrij_cnt", "char_sum", "morph_sum",
+        "compound3_cnt",
+    ]
     sums = ",\n       ".join(f"CAST(SUM({n}) AS BIGINT) AS {n}" for n in names)
     return f"""
 WITH sentx AS ({inner})
@@ -873,6 +913,30 @@ def sql_sentence_features_ext() -> str:
             f"CAST(SUM(CASE WHEN noun_sem = '{c}' AND tag = 'N' THEN 1 ELSE 0 END)"
             f" AS BIGINT) AS sem_{c.lower()}_strict_cnt"
         )
+    for t in SENT_TAGS:
+        lines.append(
+            f"CAST(SUM(CASE WHEN tag = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS tag_{t.lower()}_cnt"
+        )
+    for pnum in (1, 2, 3):
+        lines.append(
+            f"CAST(SUM(CASE WHEN pron_person = {pnum} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS pron{pnum}_cnt"
+        )
+    lines += [
+        "CAST(SUM(CASE WHEN noun_sem = 'HUMAN' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS name_cnt",
+        "CAST(SUM(CASE WHEN adj_pos = 'prenom' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS prenom_cnt",
+        "CAST(SUM(CASE WHEN adj_pos = 'vrij' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS vrij_cnt",
+        "CAST(SUM(char_cnt) AS BIGINT) AS char_sum",
+        f"CAST(SUM(len({annotate.sql_morphemes('word', 'tag')})) AS BIGINT)"
+        " AS morph_sum",
+        f"CAST(SUM(CASE WHEN tag = 'N' AND length(word) >= "
+        f"{annotate.COMPOUND_MIN_LEN + annotate.COMPOUND_SAT_LEN} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS compound3_cnt",
+    ]
     lines_sql = ",\n           ".join(lines)
     return (
         "WITH "

@@ -926,6 +926,45 @@ def _profile_ratio_expr(num: str, den: str, kind: str) -> str:
     return f"ROUND(CASE WHEN {den} <> 0 THEN ({num}) * 1.0 / ({den}){mult} END, 6)"
 
 
+# D4 — the reference's EXACT LiNT readability formulas
+# (structstats.cxx:1004-1041), computed over the profile's own ratio
+# columns (same predictors, engine-native names): wrd_freq_log_zn_corr
+# -> word_freq_log_corr_zn, plus bijv_bep_dz_zbijzin / alg_nw_d /
+# al_max / inhwrd_dz_zonder_abw / conc_nw_ruim_p. Clamped to [0,100];
+# level bands at <=34 / <=46 / <=60 (reference's level1..3). The same
+# strings render in Spark (F.expr) and DuckDB. NULL inputs (zero
+# denominators upstream) collapse to score 0 via GREATEST's
+# null-skipping — identical in both engines.
+_LINT_RAW = {
+    1: (
+        "100 - (-14.857 + 19.487 * word_freq_log_corr_zn"
+        " - 5.965 * bijv_bep_dz_zbijzin - 0.093 * alg_nw_d"
+        " - 0.995 * al_max)"
+    ),
+    2: (
+        "100 - (3.204 + 15.845 * word_freq_log_corr_zn"
+        " - 1.331 * al_max - 3.829 * inhwrd_dz_zonder_abw"
+        " + 13.096 * conc_nw_ruim_p)"
+    ),
+}
+
+
+def _lint_col_sql() -> list[tuple[str, str]]:
+    out = []
+    for i, raw in sorted(_LINT_RAW.items()):
+        score = f"LEAST(100.0, GREATEST(0.0, {raw}))"
+        out.append((f"lint_score_{i}", f"ROUND({score}, 6)"))
+        out.append(
+            (
+                f"lint_level_{i}",
+                f"CAST(CASE WHEN ({score}) <= 34 THEN 1"
+                f" WHEN ({score}) <= 46 THEN 2"
+                f" WHEN ({score}) <= 60 THEN 3 ELSE 4 END AS INT)",
+            )
+        )
+    return out
+
+
 def _sql_doc_profile() -> str:
     selects = ["b0.*"]
     froms = [f"({ORACLES[_PROFILE_PARTS[0][0]]}\n) b0"]
@@ -938,7 +977,11 @@ def _sql_doc_profile() -> str:
         f"{_profile_ratio_expr(num, den, kind)} AS {name}"
         for name, num, den, kind in _PROFILE_RATIOS
     )
-    return f"SELECT p.*,\n       {ratios}\nFROM (\n{inner}\n) p"
+    lint = ",\n       ".join(f"{sql} AS {name}" for name, sql in _lint_col_sql())
+    return (
+        f"SELECT q.*,\n       {lint}\nFROM (\n"
+        f"SELECT p.*,\n       {ratios}\nFROM (\n{inner}\n) p\n) q"
+    )
 
 
 def _profile_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,12 +1052,16 @@ def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
         out = part if out is None else out.join(part, "doc_id")
     # cross-battery ratio block (same SQL strings as the oracle)
-    return out.select(
+    out = out.select(
         "*",
         *[
             F.expr(_profile_ratio_expr(num, den, kind)).alias(name)
             for name, num, den, kind in _PROFILE_RATIOS
         ],
+    )
+    # D4 exact LiNT scores over the ratio columns (second-level select)
+    return out.select(
+        "*", *[F.expr(sql).alias(name) for name, sql in _lint_col_sql()]
     )
 
 
