@@ -8,9 +8,10 @@ first sentence of a paragraph is NA
 buffers ``fill_word_lemma_buffers`` src/tscan.cxx:2092-2103).
 
 L2 — document sliding-buffer overlap: each candidate word is tested
-against the previous ``OVERLAP_SIZE`` words of the document
-(``calculate_doc_overlap`` src/tscan.cxx:3039-3090; default buffer 50,
-configurable — scaled to 20 for the synthetic corpus).
+against the previous ``overlap_size`` words of the document
+(``calculate_doc_overlap`` src/tscan.cxx:3039-3090). The buffer size is
+a parameter exactly like the reference's ``overlapSize`` setting
+(default 50, src/tscan.cxx:935); ``OVERLAP_SIZE`` is the module default.
 
 Both are pure Window + higher-order-function plans: no Python UDFs, no
 extra shuffles beyond the window sort. The window partition key is
@@ -32,7 +33,8 @@ from pyspark.sql import functions as F
 
 from tscan_spark import annotate, corpus
 
-OVERLAP_SIZE = 20
+# reference default overlapSize = 50 (src/tscan.cxx:935)
+OVERLAP_SIZE = 50
 
 
 def _annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,19 +120,22 @@ FROM (
 SQL_SENTENCE_OVERLAP_TMPL = _sql_sentence_overlap()
 
 
-def doc_sliding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_sliding_overlap(
+    spark: SparkSession, sf_dir: str, overlap_size: int = OVERLAP_SIZE
+) -> DataFrame:
     """L2: doc-grain sliding-buffer overlap counts.
 
-    For every candidate token at position >= OVERLAP_SIZE, test whether
-    the same l_word (resp. lemma) occurred in the previous OVERLAP_SIZE
-    tokens (buffer holds ALL words; only the *test* is candidate-gated,
-    matching src/tscan.cxx:3039-3090).
+    For every candidate token at position >= ``overlap_size``, test
+    whether the same l_word (resp. lemma) occurred in the previous
+    ``overlap_size`` tokens (buffer holds ALL words; only the *test* is
+    candidate-gated, matching src/tscan.cxx:3039-3090; buffer size =
+    the reference's configurable ``overlapSize``, default 50).
     """
     tok = _annotated(spark, sf_dir)
     w = (
         Window.partitionBy("doc_id")
         .orderBy("word_idx")
-        .rowsBetween(-OVERLAP_SIZE, -1)
+        .rowsBetween(-overlap_size, -1)
     )
     # the buffer holds key arrays of ALL previous words (flattened to a
     # key union); the candidate's keys intersect it on a string match or
@@ -143,7 +148,7 @@ def doc_sliding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.flatten(F.collect_list(annotate.overlap_keys_expr(F.col("lemma"))).over(w)),
     )
     eligible = ((F.col("is_content") == 1) | (F.col("tag") == "VNW")) & (
-        F.col("word_idx") >= OVERLAP_SIZE
+        F.col("word_idx") >= overlap_size
     )
     tok = tok.select(
         "doc_id",

@@ -474,6 +474,110 @@ WHERE ROUND((dot_fp / {float(FP12)})
             6) >= {NEAR_DUP_TAU}"""
 
 
+# ---------------------------------------------------------------------------
+# Cardinality-DERIVED multiprobe ANN (the production parameter path)
+# ---------------------------------------------------------------------------
+#
+# The demo queries above pin N_PLANES=8; production derives the plane
+# count from the table cardinality via n_planes_for. This variant
+# exercises that exact path end-to-end under an oracle: the Spark side
+# counts the table and calls n_planes_for(n, SCALED_TARGET_BUCKET); the
+# DuckDB oracle replays the SAME formula in SQL (planes rendered up to
+# SCALED_MAX_PLANES, masked by the derived count), so the derived
+# resolution — not a pinned constant — is what the correctness gate
+# hashes. At sf0.01 (500 vectors) the formula gives 4 planes; at sf0.1
+# (2000) it gives 6 — both different from the pinned demo's 8.
+
+SCALED_TARGET_BUCKET = 32
+SCALED_MAX_PLANES = 12  # oracle renders this many plane columns; the
+# derived count masks them (supports up to 32 * 2^12 ≈ 131k vectors)
+
+
+def multiprobe_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe ANN with the hyperplane count DERIVED from the table
+    cardinality (``n_planes_for``) instead of the pinned demo constant —
+    the parameterization a 10^9-vector corpus would use (20 planes at
+    target 1024). The count() is a parquet-metadata read (row-group
+    stats), not a data scan."""
+    n = corpus.load(spark, sf_dir, "embeddings").count()
+    p = n_planes_for(n, SCALED_TARGET_BUCKET)
+    assert p <= SCALED_MAX_PLANES, (
+        f"derived {p} planes > oracle's rendered {SCALED_MAX_PLANES}; "
+        "raise SCALED_MAX_PLANES (or the target bucket) in lockstep"
+    )
+    return multiprobe_topk(spark, sf_dir, n_planes=p)
+
+
+def sql_multiprobe_topk_scaled() -> str:
+    """DuckDB replay of the cardinality-derived multiprobe query: the
+    plane count is computed IN SQL from COUNT(*) with the same formula
+    as :func:`n_planes_for`, and the bucket/probe constructions mask the
+    statically rendered SCALED_MAX_PLANES projections by it."""
+    pmax = SCALED_MAX_PLANES
+    xfp = f"CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {FP12}, 0) AS BIGINT)"
+    projs = ",\n           ".join(
+        f"SUM({xfp} * ((({k} * 31 + (i - 1) * 17) % 7) - 3)) AS p{k}"
+        for k in range(pmax)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {k} < np AND p{k} > 0 THEN {2**k} ELSE 0 END)"
+        for k in range(pmax)
+    )
+    return f"""
+WITH {_sql_norms_cte().strip()},
+params AS (
+    SELECT GREATEST(2, CAST(CEIL(LOG2(GREATEST(2, COUNT(*))
+               / {float(SCALED_TARGET_BUCKET)})) AS INT)) AS np
+    FROM embeddings
+),
+proj AS (
+    SELECT vec_id,
+           {projs}
+    FROM embeddings CROSS JOIN range(1, 65) r(i)
+    GROUP BY vec_id
+),
+bucketed AS (
+    SELECT vec_id, CAST({bucket} AS INT) AS bucket
+    FROM proj CROSS JOIN params
+),
+qprobes AS (
+    SELECT vec_id AS q_id, bucket
+    FROM bucketed WHERE vec_id < {N_QUERIES}
+    UNION ALL
+    SELECT b.vec_id AS q_id, CAST(xor(b.bucket, (1 << r.k)) AS INT) AS bucket
+    FROM bucketed b CROSS JOIN params CROSS JOIN range(0, {pmax}) r(k)
+    WHERE b.vec_id < {N_QUERIES} AND r.k < params.np
+),
+dots AS (
+    SELECT q.q_id, a.vec_id,
+           {_SQL_FP_DOT} AS dot_fp
+    FROM embeddings a
+    JOIN bucketed ba ON ba.vec_id = a.vec_id
+    JOIN qprobes q ON q.bucket = ba.bucket
+    JOIN embeddings b ON b.vec_id = q.q_id
+    CROSS JOIN range(1, 65) r(i)
+    WHERE a.vec_id <> q.q_id
+    GROUP BY q.q_id, a.vec_id
+),
+scored AS (
+    SELECT dots.q_id, dots.vec_id,
+           ROUND((dot_fp / {float(FP12)})
+                 / (sqrt(na.norm_fp / {float(FP12)}) * sqrt(nb.norm_fp / {float(FP12)})),
+                 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = dots.q_id
+    JOIN norms nb ON nb.vec_id = dots.vec_id
+),
+ranked AS (
+    SELECT q_id, vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+           cosine
+    FROM scored
+)
+SELECT q_id, vec_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def sql_multiprobe_topk() -> str:
     xfp = f"CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {FP12}, 0) AS BIGINT)"
     projs = ",\n           ".join(

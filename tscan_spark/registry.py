@@ -297,6 +297,16 @@ def q_sim_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.multiprobe_topk(spark, sf_dir)
 
 
+@query("similarity_multiprobe_topk_scaled", oracle=similarity.sql_multiprobe_topk_scaled())
+def q_sim_multiprobe_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe ANN with the hyperplane count DERIVED from the table
+    cardinality (n_planes_for(count, target) — 4 planes at 500 vectors,
+    6 at 2000, 20 at 10^9) — oracles the production parameter path the
+    pinned demos can't; the DuckDB side replays the same derivation in
+    SQL from COUNT(*)."""
+    return similarity.multiprobe_topk_scaled(spark, sf_dir)
+
+
 @query("lang_id", oracle=textstats.sql_lang_id())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-voting language identification."""
