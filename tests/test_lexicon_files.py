@@ -88,6 +88,122 @@ def test_prevalence_features_match_oracle(spark, oracle):
     assert_matches_oracle(df, oracle, ORACLES["prevalence_features"])
 
 
+def test_parse_nouns_semtype_arity_and_classification():
+    """fillN (tscan.cxx:223-262): 3- or 6-column rows only; semtype via
+    SEM::classifyNoun; compound head/satellite/parts only when the
+    compound flag is '1'."""
+    from tscan_spark.sources.lexicon_files import parse_nouns_semtype
+
+    lines = [
+        "hond\tnonhuman\t0",
+        "arbeider\thuman\t0",
+        "idee\tnondynamic\t0",
+        "hondenhok\tartefact\t1\thok\thond\t2",
+        "four\tcols\tbad\tline",  # 4 values -> skipped
+        "",
+        "raar\tnot_a_type\t0",  # unknown semtype -> UNFOUND (None)
+        "tijd\ttime\t0",
+        "vaag\tundefined\t0",  # UNDEFINED: loaded, no class
+    ]
+    rows = {r[0]: r for r in parse_nouns_semtype(lines)}
+    assert set(rows) == {"hond", "arbeider", "idee", "hondenhok", "raar", "tijd", "vaag"}
+    assert rows["hond"][2] == "CONCRETE" and rows["hond"][3] == 0
+    assert rows["arbeider"][2] == "HUMAN"
+    assert rows["idee"][2] == "ABSTRACT"
+    assert rows["tijd"][2] == "CONCRETE"  # BROAD_CONCRETE_TIME analog
+    assert rows["raar"][2] is None and rows["vaag"][2] is None
+    _, _, cls, is_comp, head, sat, n = rows["hondenhok"]
+    assert (cls, is_comp, head, sat, n) == ("CONCRETE", 1, "hok", "hond", 2)
+
+
+def test_nouns_semtype_ladder_end_to_end(spark):
+    """End-to-end W10/W25 over a REFERENCE-FORMAT nouns file: the
+    fillN-loaded dimension flows through annotate_extended's broadcast
+    findInflected cascade, verified against an independent PYTHON replay
+    of the reference semantics (fillN tscan.cxx:223-262 + findInflected
+    utils.h:32-55: lemma cascade first, then the word form; compound
+    head/satellite come from the FOUND ENTRY — lemma-first, like
+    checkNoun — not from a surface char-split)."""
+    from pyspark.sql import functions as F
+
+    from tscan_spark import annotate, corpus
+    from tscan_spark.sources.lexicon_files import load_nouns_semtype
+    from tests.conftest import SF_DIR
+
+    base = annotate.annotate(corpus.tokens_long(corpus.load(spark, SF_DIR, "documents")))
+    analog = annotate.annotate_extended(base)
+
+    # render a fillN file over the corpus vocabulary: NOUN_SEM keys as
+    # non/compound rows (compound info from the analog split rule) plus
+    # every analog-compound vocab word with explicit head/satellite
+    inv = {"CONCRETE": "concrother", "ABSTRACT": "nondynamic", "HUMAN": "human"}
+    vocab = (
+        analog.where(F.col("tag").isin(["N", "ADJ"]))
+        .select("word", "is_compound", "comp_head", "noun_sem")
+        .distinct()
+        .collect()
+    )
+    comp_info = {r.word: r for r in vocab if r.is_compound == 1}
+    lines, emitted = [], set()
+    for key, cls in annotate.NOUN_SEM.items():
+        c = comp_info.get(key)
+        if c is not None:
+            lines.append(
+                f"{key}\t{inv[cls]}\t1\t{c.comp_head}\t{key[len(c.comp_head):]}\t2"
+            )
+        else:
+            lines.append(f"{key}\t{inv[cls]}\t0")
+        emitted.add(key)
+    for w, c in comp_info.items():
+        if w not in emitted:
+            sem = inv.get(c.noun_sem, "undefined")
+            lines.append(f"{w}\t{sem}\t1\t{c.comp_head}\t{w[len(c.comp_head):]}\t2")
+    dim = load_nouns_semtype(spark, "\n".join(lines) + "\n", is_text=True)
+
+    # independent Python replay of fillN + the findInflected cascade
+    fdict = {}
+    for r in dim.collect():
+        fdict[r.word] = (r.sem_class, r.is_compound, r.comp_head, r.comp_sat)
+
+    def cascade(key):
+        cands = [key]
+        for s in ("e", "en", "s"):
+            cands.append(
+                key[: -len(s)] if len(key) > len(s) and key.endswith(s) else key + s
+            )
+        return cands
+
+    def replay(lemma, word):
+        for k in cascade(lemma) + cascade(word):
+            if k in fdict:
+                return fdict[k]
+        return None
+
+    via_file = annotate.annotate_extended(base, nouns_dim=dim)
+    rows = via_file.select(
+        "doc_id", "word_idx", "word", "lemma", "tag",
+        "noun_sem", "is_compound", "comp_head", "comp_sat",
+    ).collect()
+    assert rows
+    n_sem = n_comp = 0
+    for r in rows:
+        if r.tag not in ("N", "ADJ"):
+            assert r.noun_sem is None and r.is_compound == 0
+            continue
+        hit = replay(r.lemma, r.word)
+        exp_sem = hit[0] if hit else None
+        assert r.noun_sem == exp_sem, (r.word, r.lemma, r.noun_sem, hit)
+        exp_comp = 1 if (r.tag == "N" and hit and hit[1] == 1) else 0
+        assert r.is_compound == exp_comp, (r.word, r.lemma, r.is_compound, hit)
+        if exp_comp:
+            assert (r.comp_head, r.comp_sat) == (hit[2], hit[3])
+            n_comp += 1
+        if exp_sem is not None:
+            n_sem += 1
+    # the file actually classified and split a meaningful share
+    assert n_sem > 0 and n_comp > 0
+
+
 def test_doc_features_ladder_over_reference_format_lexicon(spark):
     """End-to-end: the doc-features ladder consuming a REFERENCE-FORMAT
     freqlex file (fill_freqlex semantics) instead of the corpus-derived

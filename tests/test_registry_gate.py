@@ -1,0 +1,67 @@
+"""Correctness-gate coverage pins (the round-3 verdict's #1 fix).
+
+Two consecutive rounds, the driver's hard correctness gate ran before
+the registry froze and silently skipped the newest queries. These tests
+make that structurally impossible to miss:
+
+1. every registered query has a DuckDB oracle (or is on the explicit,
+   documented no-oracle allowlist), so nothing ships rows-only checked
+   by accident;
+2. ``CORRECTNESS_HEAD.json`` — the committed full-sweep ledger written
+   by ``python tools/check_query.py --json CORRECTNESS_HEAD.json`` —
+   covers every registered query and is all-OK. Registering a query
+   without re-running the sweep turns the suite red, so the ledger at
+   HEAD always proves the whole registry green even if the driver's own
+   gate snapshot was stale.
+
+No Spark session needed: these are pure registry/file assertions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# queries intentionally without a DuckDB oracle (none today; genuinely
+# non-SQL-expressible ops would be listed AND justified here)
+NO_ORACLE_ALLOWLIST: set[str] = set()
+
+
+def _registry():
+    from tscan_spark.registry import ORACLES, QUERIES
+
+    return QUERIES, ORACLES
+
+
+def test_every_query_has_an_oracle():
+    QUERIES, ORACLES = _registry()
+    missing = [n for n in QUERIES if n not in ORACLES and n not in NO_ORACLE_ALLOWLIST]
+    assert not missing, f"queries registered without oracles: {missing}"
+
+
+def test_oracles_have_no_orphans():
+    QUERIES, ORACLES = _registry()
+    orphans = [n for n in ORACLES if n not in QUERIES]
+    assert not orphans, f"oracles without a registered query: {orphans}"
+
+
+def test_correctness_head_ledger_covers_registry():
+    QUERIES, ORACLES = _registry()
+    path = os.path.join(REPO, "CORRECTNESS_HEAD.json")
+    assert os.path.exists(path), (
+        "CORRECTNESS_HEAD.json missing — run "
+        "`python tools/check_query.py --json CORRECTNESS_HEAD.json` "
+        "after any registry change and commit the ledger"
+    )
+    with open(path) as f:
+        ledger = json.load(f)
+    results = ledger["results"]
+    uncovered = [n for n in QUERIES if n in ORACLES and n not in results]
+    assert not uncovered, (
+        f"queries registered after the last sweep: {uncovered} — re-run "
+        "`python tools/check_query.py --json CORRECTNESS_HEAD.json`"
+    )
+    not_ok = {n: v for n, v in results.items() if v != "OK"}
+    assert not not_ok, f"sweep ledger has non-OK verdicts: {not_ok}"

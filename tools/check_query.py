@@ -1,8 +1,16 @@
 """Ad-hoc driver-gate replica: run registered queries against their
 DuckDB oracles at a small SF and report rows/schema/value matches.
 
-Usage: python tools/check_query.py [query ...]   (no args = all oracled)
+Usage: python tools/check_query.py [--json OUT] [query ...]
+       (no queries = all oracled)
 Env:   TSCAN_TEST_SF_DIR (default /root/testdata/sf0.001)
+
+``--json CORRECTNESS_HEAD.json`` (full sweep only) writes the machine-
+readable ledger that tests/test_registry_gate.py pins against the
+registry: committing it as the round's LAST registry-affecting step
+makes a stale driver gate detectable — every registered query must have
+a fresh sweep verdict at HEAD, so "registered after the gate ran" can
+no longer silently skip verification.
 """
 
 from __future__ import annotations
@@ -61,13 +69,21 @@ def main() -> int:
     from tscan_spark.session import get_spark
     from tscan_spark.registry import QUERIES, ORACLES
 
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+
     spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    names = sys.argv[1:] or [n for n in QUERIES if n in ORACLES]
+    names = argv or [n for n in QUERIES if n in ORACLES]
     rc = 0
+    results: dict[str, str] = {}
     for n in names:
         try:
             got = QUERIES[n](spark, SF_DIR).toPandas()
@@ -77,7 +93,26 @@ def main() -> int:
             verdict = "ERR " + traceback.format_exc(limit=3).splitlines()[-1]
         if verdict != "OK":
             rc = 1
+        results[n] = verdict
         print(f"{n:40s} {verdict}")
+    if json_out is not None:
+        import json
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=_REPO,
+        ).stdout.strip()
+        ledger = {
+            "sf_dir": SF_DIR,
+            "git_head_when_run": rev,
+            "n_queries": len(results),
+            "n_ok": sum(1 for v in results.values() if v == "OK"),
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+        print(f"# wrote {json_out}: {ledger['n_ok']}/{ledger['n_queries']} OK")
     spark.stop()
     return rc
 

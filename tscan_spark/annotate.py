@@ -373,7 +373,69 @@ def sql_nominal_lexical(col: str, tag_sql: str) -> str:
     )
 
 
-def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
+def nouns_dim_lookup(tok_annotated: "DataFrame", nouns_dim: "DataFrame") -> "DataFrame":
+    """The findInflected cascade (utils.h:32-55) against a FILE-loaded
+    nouns dimension (fillN format, sources/lexicon_files.py) as a
+    broadcast join — the scale path when the lexicon is too big to
+    constant-fold into literal CASE maps.
+
+    Each N/ADJ token emits its priority-ordered candidate keys (lemma
+    exact, lemma per-suffix variant, then the word form's cascade —
+    same order as :func:`inflected_lookup`), the candidates broadcast-
+    join the dimension, and ``min_by(prio)`` keeps the first hit —
+    exactly the reference's cascade, one broadcast hash join at corpus
+    scale. Adds ``_file_sem/_file_is_comp/_file_head/_file_sat``.
+    """
+
+    def cascade_keys(col) -> list:
+        ks = [col]
+        for s in INFLECTION_SUFFIXES:
+            stripped = F.substr(col, F.lit(1), F.length(col) - len(s))
+            ks.append(
+                F.when((F.length(col) > len(s)) & col.endswith(s), stripped).otherwise(
+                    F.concat(col, F.lit(s))
+                )
+            )
+        return ks
+
+    keys = cascade_keys(F.col("lemma")) + cascade_keys(F.col("word"))
+    cand = tok_annotated.where(F.col("tag").isin(["N", "ADJ"])).select(
+        "doc_id",
+        "word_idx",
+        F.posexplode(F.array(*keys)).alias("_prio", "_nkey"),
+    )
+    dim = nouns_dim.select(
+        F.col("word").alias("_nkey"),
+        F.col("sem_class").alias("_f_sem"),
+        F.col("is_compound").alias("_f_comp"),
+        F.col("comp_head").alias("_f_head"),
+        F.col("comp_sat").alias("_f_sat"),
+    )
+    hit = (
+        cand.join(F.broadcast(dim), "_nkey")
+        .groupBy("doc_id", "word_idx")
+        .agg(
+            F.min_by(
+                F.struct("_f_sem", "_f_comp", "_f_head", "_f_sat"), F.col("_prio")
+            ).alias("_hit")
+        )
+    )
+    return (
+        tok_annotated.join(hit, ["doc_id", "word_idx"], "left")
+        .select(
+            "*",
+            F.col("_hit._f_sem").alias("_file_sem"),
+            F.col("_hit._f_comp").alias("_file_is_comp"),
+            F.col("_hit._f_head").alias("_file_head"),
+            F.col("_hit._f_sat").alias("_file_sat"),
+        )
+        .drop("_hit")
+    )
+
+
+def annotate_extended(
+    tok_annotated: "DataFrame", nouns_dim: "DataFrame | None" = None
+) -> "DataFrame":
     """Extended per-word classifiers on top of :func:`annotate`.
 
     Adds: morph negation (W7), noun semantic type w/ word fallback
@@ -382,6 +444,15 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
     (W24), compound split + char counts (W25), personal reference (W26),
     synthetic CGN props (W4: verb form for WW, pronoun person for VNW,
     adjective position for ADJ).
+
+    ``nouns_dim``: a fillN-format nouns dimension
+    (sources/lexicon_files.load_nouns_semtype). When given, the W10/W11
+    semantic classification and the W25 compound split come from the
+    FILE (explicit head/satellite columns, reference fillN
+    tscan.cxx:223-262) via the broadcast cascade of
+    :func:`nouns_dim_lookup` instead of the synthetic-analog literal
+    maps; every downstream flag (sem_unfound, strict content, personal
+    reference, fan-out counters) derives identically from the result.
     """
     # two select stages (see annotate): stage 1 adds the independent
     # classifiers, stage 2 the ones depending on stage-1 columns
@@ -396,30 +467,40 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
     # the verb-under-NP parse branch lives in operators/parse.py)
     nominal = nominal_lexical_expr(w, tag)
 
-    # W25: compound split (head = all but last 3 chars, sat = last 3)
-    is_comp = (tag == "N") & (F.length(w) >= COMPOUND_MIN_LEN)
-
-    out = tok_annotated.select(
-        "*",
-        morph_neg.cast("int").alias("is_morph_neg"),
+    if nouns_dim is not None:
+        tok_annotated = nouns_dim_lookup(tok_annotated, nouns_dim)
+        sem_expr = F.when(tag.isin(["N", "ADJ"]), F.col("_file_sem"))
+        # W25 from the file: explicit compound flag + head/satellite
+        # (null-safe: a lookup miss is NOT-a-compound, not NULL)
+        is_comp = (tag == "N") & (F.coalesce(F.col("_file_is_comp"), F.lit(0)) == 1)
+        comp_head = F.when(is_comp, F.col("_file_head"))
+        comp_head_len = F.when(is_comp, F.length("_file_head"))
+    else:
         # W10/W11: semantic type via the findInflected cascade — lemma
         # first (checkNoun tscan.cxx:1342), then the word form (checkAdj
         # tscan.cxx:1411-1415 tries l_lemma then l_word), each with the
         # ±e/en/s suffix fallback (utils.h:32-55)
-        F.when(
+        sem_expr = F.when(
             tag.isin(["N", "ADJ"]),
             F.coalesce(inflected_lookup(NOUN_SEM, lem), inflected_lookup(NOUN_SEM, w)),
-        ).alias("noun_sem"),
+        )
+        # W25: compound split (head = all but last 3 chars, sat = last 3)
+        is_comp = (tag == "N") & (F.length(w) >= COMPOUND_MIN_LEN)
+        comp_head = F.when(is_comp, F.substr(w, F.lit(1), F.length(w) - COMPOUND_SAT_LEN))
+        comp_head_len = F.when(is_comp, F.length(w) - COMPOUND_SAT_LEN)
+
+    out = tok_annotated.select(
+        "*",
+        morph_neg.cast("int").alias("is_morph_neg"),
+        sem_expr.alias("noun_sem"),
         # W15: adverb type
         F.when(tag == "BW", lexicon_map(ADVERB_TYPES, w)).alias("adverb_type"),
         # W16: abbreviation domain (N/SPEC gate like checkAfk)
         F.when(tag.isin(["N", "SPEC"]), lexicon_map(AFK_DOMAINS, w)).alias("afk_domain"),
         nominal.cast("int").alias("is_nominal"),
         is_comp.cast("int").alias("is_compound"),
-        F.when(is_comp, F.substr(w, F.lit(1), F.length(w) - COMPOUND_SAT_LEN)).alias(
-            "comp_head"
-        ),
-        F.when(is_comp, F.length(w) - COMPOUND_SAT_LEN).alias("comp_head_len"),
+        comp_head.alias("comp_head"),
+        comp_head_len.alias("comp_head_len"),
         # W4: synthetic CGN property decode
         F.when(
             tag == "WW", F.when(F.length(w) % 2 == 0, "pv").otherwise("inf")
@@ -430,6 +511,13 @@ def annotate_extended(tok_annotated: "DataFrame") -> "DataFrame":
             F.when(F.substring(w, 1, 1) <= "p", "prenom").otherwise("vrij"),
         ).alias("adj_pos"),
     )
+    if nouns_dim is not None:
+        # the file's explicit satellite (analog mode derives comp_sat by
+        # the char-split rule later, in pipeline_ratios._word_grain)
+        out = out.withColumn(
+            "comp_sat",
+            F.when(F.col("is_compound") == 1, F.col("_file_sat")),
+        ).drop("_file_sem", "_file_is_comp", "_file_head", "_file_sat")
     return out.select(
         "*",
         # UNFOUND_NOUN (checkNoun tscan.cxx:1385-1393): an N-tagged word

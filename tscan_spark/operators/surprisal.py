@@ -71,6 +71,76 @@ def surprisal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.withColumn("sent_cnt", F.col("sent_cnt").cast("long"))
 
 
+def surprisal_paragraph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 at PARAGRAPH grain: the reference's paragraph CSV carries the
+    same Wopr cells as the document vector — sentence-value sums divided
+    by the paragraph's sentence count (avg-of-avgs within the paragraph,
+    structstats.cxx:984-1000 via parstats). Same fixed-point ladder as
+    :func:`surprisal_features`, keyed by (doc_id, par_idx)."""
+    t = token_surprisal(spark, sf_dir)
+    sent = t.groupBy("doc_id", "par_idx", "sent_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("logprob10") * 1e6, 0).cast("long")).alias("lp_fp"),
+    )
+    sent = sent.withColumn(
+        "avg_lp10", F.col("lp_fp") / 1e6 / F.col("n")
+    ).withColumn(
+        "lp_norm_len2",
+        F.col("lp_fp") / 1e6 / (F.col("n") * F.col("n")),
+    )
+    par = sent.groupBy("doc_id", "par_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("sent_cnt"),
+        (
+            F.sum(F.round(F.col("avg_lp10") * 1e6, 0).cast("long"))
+            / 1e6
+            / F.count(F.lit(1))
+        ).alias("avg_lp10"),
+        (
+            F.sum(F.round(F.col("lp_norm_len2") * 1e6, 0).cast("long"))
+            / 1e6
+            / F.count(F.lit(1))
+        ).alias("lp_norm_len2"),
+    )
+    return par
+
+
+def sql_surprisal_paragraph_features() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+wf AS (
+    SELECT word,
+           {sql_freq_log("COUNT(*)", "(SELECT COUNT(*) FROM tok)")} AS wf_freq_log
+    FROM tok GROUP BY word
+),
+t AS (
+    SELECT tok.*,
+           ROUND(-ROUND(wf_freq_log, 6) / 3.7 - (word_idx % 7) / 19.0, 6)
+               AS logprob10
+    FROM tok JOIN wf USING (word)
+),
+sentg AS (
+    SELECT doc_id, par_idx, sent_idx, COUNT(*) AS n,
+           SUM(CAST(ROUND(logprob10 * 1e6, 0) AS BIGINT)) AS lp_fp
+    FROM t GROUP BY doc_id, par_idx, sent_idx
+),
+sentv AS (
+    SELECT doc_id, par_idx,
+           lp_fp / 1e6 / n AS avg_lp10,
+           lp_fp / 1e6 / (n * n) AS lp_norm_len2
+    FROM sentg
+)
+SELECT doc_id, par_idx,
+       CAST(COUNT(*) AS BIGINT) AS sent_cnt,
+       SUM(CAST(ROUND(avg_lp10 * 1e6, 0) AS BIGINT)) / 1e6 / COUNT(*) AS avg_lp10,
+       SUM(CAST(ROUND(lp_norm_len2 * 1e6, 0) AS BIGINT)) / 1e6 / COUNT(*)
+           AS lp_norm_len2
+FROM sentv
+GROUP BY doc_id, par_idx"""
+    )
+
+
 def sql_surprisal_features() -> str:
     return (
         "WITH "

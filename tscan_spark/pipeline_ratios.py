@@ -39,6 +39,7 @@ from tscan_spark.functions.scalars import (
     proportion,
     sql_density,
     sql_fp_mean,
+    sql_fp_sum,
     sql_freq_log,
     sql_proportion,
 )
@@ -466,6 +467,85 @@ def doc_ratios_columns() -> list[str]:
     return cols
 
 
+def _sql_word_grain_with() -> str:
+    """The full ``WITH ... wg AS (...)`` prelude: annotated tokens +
+    frequency/staph/lemma lexicon joins + compound head/sat flags — the
+    DuckDB replay of :func:`_word_grain`. Shared by the doc-ratio and
+    the widened sentence/paragraph oracles so the grain definition
+    cannot drift between grains."""
+    is_comp = "is_compound = 1"
+    sat_expr = (
+        f"CASE WHEN {is_comp} THEN "
+        f"substring(word, length(word) - {annotate.COMPOUND_SAT_LEN - 1}) END"
+    )
+    head_fl = (
+        f"CASE WHEN {is_comp} THEN "
+        + sql_freq_log("COALESCE(hf.wf_count, 0)", "w.wf_total")
+        + " END"
+    )
+    sat_fl = (
+        f"CASE WHEN {is_comp} THEN "
+        + sql_freq_log("COALESCE(sf.wf_count, 0)", "w.wf_total")
+        + " END"
+    )
+    # per-band head/sat/corr flags (mirrors the Spark band_cols loop)
+    band_flag_sql = []
+    for band, thr in lexicons.BANDS:
+        head_in = f"CASE WHEN COALESCE(hf.wf_rank, 1000000000) <= {thr} THEN 1 ELSE 0 END"
+        sat_in = f"CASE WHEN COALESCE(sf.wf_rank, 1000000000) <= {thr} THEN 1 ELSE 0 END"
+        band_flag_sql += [
+            f"CASE WHEN {is_comp} THEN {head_in} END AS is_{band}_head",
+            f"CASE WHEN {is_comp} THEN {sat_in} END AS is_{band}_sat",
+            f"CASE WHEN {is_comp} THEN {head_in} ELSE w.is_{band} END"
+            f" AS is_{band}_corr",
+        ]
+    band_flags_sql = ",\n           ".join(band_flag_sql)
+    staph_cols = ",\n           ".join(
+        f"st.is_{b}" for b, _ in lexicons.STAPH_BANDS
+    )
+    own_bands = ",\n           ".join(f"w.is_{b}" for b, _ in lexicons.BANDS)
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + annotate.sql_annot_cte().strip()
+        + ",\n"
+        + annotate.sql_annot_ext_cte().strip()
+        + ",\n"
+        + lexicons.sql_word_freq_cte().strip()
+        + ","
+        + lexicons.sql_staph_cte().strip().lstrip()
+        + ","
+        + lexicons.sql_lemma_freq_cte().strip().lstrip()
+        + f""",
+wg AS (
+    SELECT a.*,
+           {own_bands},
+           {staph_cols},
+           ROUND(({head_fl}), 6) AS head_freq_log,
+           ROUND(({sat_fl}), 6) AS sat_freq_log,
+           ROUND((({head_fl}) + ({sat_fl})) / 2.0, 6) AS head_sat_freq_log,
+           ROUND(CASE WHEN {is_comp} THEN ({head_fl})
+                      ELSE w.wf_freq_log END, 6) AS word_freq_log_corr,
+           lfr.lf_freq_log AS lfl_r,
+           CASE WHEN {is_comp} THEN comp_head_len ELSE char_cnt END AS char_corr,
+           CASE WHEN tag = 'N' AND length(a.word) >=
+                {annotate.COMPOUND_MIN_LEN + annotate.COMPOUND_SAT_LEN}
+                THEN 1 ELSE 0 END AS is_compound3,
+           {band_flags_sql},
+           ROUND(w.wf_freq_log, 6) AS wfl_r,
+           CAST(len({annotate.sql_morphemes("a.word", "tag")}) AS INT) AS morph_cnt,
+           CASE WHEN noun_sem = 'HUMAN' THEN 1 ELSE 0 END AS is_name
+    FROM (SELECT annot_ext.*, {sat_expr} AS comp_sat FROM annot_ext) a
+    LEFT JOIN wfreq_b w ON w.word = a.word
+    LEFT JOIN wfreq hf ON hf.word = a.comp_head
+    LEFT JOIN wfreq sf ON sf.word = a.comp_sat
+    LEFT JOIN staph_b st ON st.word = a.word
+    LEFT JOIN lemfreq lfr ON lfr.lemma = a.lemma
+)"""
+    )
+
+
 def sql_doc_ratios() -> str:
     is_comp = "is_compound = 1"
     comp_cnt = f"SUM(CASE WHEN {is_comp} THEN 1 ELSE 0 END)"
@@ -631,36 +711,6 @@ def sql_doc_ratios() -> str:
             f"ROUND({sql_density(f'sit_{c.lower()}_cnt', 'word_cnt')}, 6)"
             f" AS sit_{c.lower()}_d"
         )
-    sat_expr = (
-        f"CASE WHEN {is_comp} THEN "
-        f"substring(word, length(word) - {annotate.COMPOUND_SAT_LEN - 1}) END"
-    )
-    head_fl = (
-        f"CASE WHEN {is_comp} THEN "
-        + sql_freq_log("COALESCE(hf.wf_count, 0)", "w.wf_total")
-        + " END"
-    )
-    sat_fl = (
-        f"CASE WHEN {is_comp} THEN "
-        + sql_freq_log("COALESCE(sf.wf_count, 0)", "w.wf_total")
-        + " END"
-    )
-    # per-band head/sat/corr flags (mirrors the Spark band_cols loop)
-    band_flag_sql = []
-    for band, thr in lexicons.BANDS:
-        head_in = f"CASE WHEN COALESCE(hf.wf_rank, 1000000000) <= {thr} THEN 1 ELSE 0 END"
-        sat_in = f"CASE WHEN COALESCE(sf.wf_rank, 1000000000) <= {thr} THEN 1 ELSE 0 END"
-        band_flag_sql += [
-            f"CASE WHEN {is_comp} THEN {head_in} END AS is_{band}_head",
-            f"CASE WHEN {is_comp} THEN {sat_in} END AS is_{band}_sat",
-            f"CASE WHEN {is_comp} THEN {head_in} ELSE w.is_{band} END"
-            f" AS is_{band}_corr",
-        ]
-    band_flags_sql = ",\n           ".join(band_flag_sql)
-    staph_cols = ",\n           ".join(
-        f"st.is_{b}" for b, _ in lexicons.STAPH_BANDS
-    )
-    own_bands = ",\n           ".join(f"w.is_{b}" for b, _ in lexicons.BANDS)
     lines_sql = ",\n           ".join(lines)
     dens_sql = ",\n       ".join(dens)
     # reference-shaped ratio select (mirrors the Spark ratio_cols list)
@@ -716,44 +766,8 @@ def sql_doc_ratios() -> str:
         ]
     ratios_sql = ",\n       ".join(ratios)
     return (
-        "WITH "
-        + corpus.SQL_TOK_CTE.strip()
-        + ",\n"
-        + annotate.sql_annot_cte().strip()
-        + ",\n"
-        + annotate.sql_annot_ext_cte().strip()
-        + ",\n"
-        + lexicons.sql_word_freq_cte().strip()
-        + ","
-        + lexicons.sql_staph_cte().strip().lstrip()
-        + ","
-        + lexicons.sql_lemma_freq_cte().strip().lstrip()
+        _sql_word_grain_with()
         + f""",
-wg AS (
-    SELECT a.*,
-           {own_bands},
-           {staph_cols},
-           ROUND(({head_fl}), 6) AS head_freq_log,
-           ROUND(({sat_fl}), 6) AS sat_freq_log,
-           ROUND((({head_fl}) + ({sat_fl})) / 2.0, 6) AS head_sat_freq_log,
-           ROUND(CASE WHEN {is_comp} THEN ({head_fl})
-                      ELSE w.wf_freq_log END, 6) AS word_freq_log_corr,
-           lfr.lf_freq_log AS lfl_r,
-           CASE WHEN {is_comp} THEN comp_head_len ELSE char_cnt END AS char_corr,
-           CASE WHEN tag = 'N' AND length(a.word) >=
-                {annotate.COMPOUND_MIN_LEN + annotate.COMPOUND_SAT_LEN}
-                THEN 1 ELSE 0 END AS is_compound3,
-           {band_flags_sql},
-           ROUND(w.wf_freq_log, 6) AS wfl_r,
-           CAST(len({annotate.sql_morphemes("a.word", "tag")}) AS INT) AS morph_cnt,
-           CASE WHEN noun_sem = 'HUMAN' THEN 1 ELSE 0 END AS is_name
-    FROM (SELECT annot_ext.*, {sat_expr} AS comp_sat FROM annot_ext) a
-    LEFT JOIN wfreq_b w ON w.word = a.word
-    LEFT JOIN wfreq hf ON hf.word = a.comp_head
-    LEFT JOIN wfreq sf ON sf.word = a.comp_sat
-    LEFT JOIN staph_b st ON st.word = a.word
-    LEFT JOIN lemfreq lfr ON lfr.lemma = a.lemma
-),
 agg AS (
     SELECT doc_id,
            {lines_sql}
@@ -784,16 +798,91 @@ SENT_EXT_FLAGS = [
 ]
 
 
+def _sent_wide_lines() -> list[tuple[str, str]]:
+    """The A1-widen counter block: (name, aggregate SQL) pairs over the
+    word grain, promoting the doc-grain-only wordDifficulties /
+    compound / frequency-band counters (structstats.cxx:185-313) to
+    SENTENCE grain — the reference's sentStats ctor carries the full
+    battery per sentence (tscan.cxx:2126-2865). The SAME SQL string
+    renders in Spark (``F.expr``) and DuckDB, so the two engines cannot
+    drift; every line is a pure SUM (counter or exact fixed-point sum),
+    so the paragraph/doc rollups remain plain sums of the sentence rows.
+    """
+    is_comp = "is_compound = 1"
+    content_gate = "is_content = 1 AND is_stop = 0"
+    strict_gate = "is_content_strict = 1 AND is_stop = 0"
+    zn_gate = f"{content_gate} AND is_name = 0"
+    strict_zn_gate = f"{strict_gate} AND is_name = 0"
+    cnt = lambda cond: f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+    ssum = lambda cond, col: (
+        f"CAST(SUM(CASE WHEN {cond} THEN {col} ELSE 0 END) AS BIGINT)"
+    )
+    L: list[tuple[str, str]] = [
+        ("noncomp_noun_cnt", cnt(f"tag = 'N' AND NOT ({is_comp})")),
+        ("inh_cnt", cnt(content_gate)),
+        ("inh_strict_cnt", cnt(strict_gate)),
+        ("zn_cnt", cnt(zn_gate)),
+        ("strict_zn_cnt", cnt(strict_zn_gate)),
+        ("char_noun_sum", ssum("tag = 'N'", "char_cnt")),
+        ("char_noncomp_sum", ssum(f"tag = 'N' AND NOT ({is_comp})", "char_cnt")),
+        ("char_comp_sum", ssum(is_comp, "char_cnt")),
+        ("char_corr_sum", "CAST(SUM(char_corr) AS BIGINT)"),
+        ("char_zn_sum", ssum("is_name = 0", "char_cnt")),
+        ("char_strict_sum", ssum(strict_gate, "char_cnt")),
+        ("char_sat_sum", ssum(is_comp, str(annotate.COMPOUND_SAT_LEN))),
+        ("char_noun_corr_sum", ssum("tag = 'N'", "char_corr")),
+        ("char_head_sum", ssum(is_comp, "comp_head_len")),
+        ("morph_zn_sum", ssum("is_name = 0", "morph_cnt")),
+        ("morph_noun_sum", ssum("tag = 'N'", "morph_cnt")),
+    ]
+    for band, _ in lexicons.STAPH_BANDS:
+        L.append((f"{band}_cnt", f"CAST(SUM(COALESCE(is_{band}, 0)) AS BIGINT)"))
+    for band, _ in lexicons.BANDS:
+        b = f"is_{band} = 1"
+        L += [
+            (f"{band}_inh_cnt", cnt(f"{content_gate} AND {b}")),
+            (f"{band}_inh_strict_cnt", cnt(f"{strict_gate} AND {b}")),
+            (f"{band}_nw_cnt", cnt(f"tag = 'N' AND {b}")),
+            (f"{band}_nsam_cnt", cnt(f"tag = 'N' AND NOT ({is_comp}) AND {b}")),
+            (f"{band}_sam_cnt", cnt(f"{is_comp} AND {b}")),
+            (f"{band}_sat_cnt", f"CAST(SUM(COALESCE(is_{band}_sat, 0)) AS BIGINT)"),
+            (f"{band}_head_cnt", f"CAST(SUM(COALESCE(is_{band}_head, 0)) AS BIGINT)"),
+            (f"{band}_corr_cnt", f"CAST(SUM(COALESCE(is_{band}_corr, 0)) AS BIGINT)"),
+            (f"{band}_nw_corr_cnt", cnt(f"tag = 'N' AND is_{band}_corr = 1")),
+        ]
+    # exact fixed-point frequency-log sums: the summable int64 building
+    # blocks of every freq-log mean (fp_mean = fp_sum / FP_SCALE / n) —
+    # at sentence grain so any coarser grain can reconstruct the means
+    # without re-touching the token grain
+    for name, col, gate in [
+        ("wfl_fp_sum", "wfl_r", None),
+        ("wfl_corr_fp_sum", "word_freq_log_corr", None),
+        ("lfl_fp_sum", "lfl_r", None),
+        ("wfl_strict_fp_sum", "wfl_r", strict_gate),
+        ("wfl_corr_zn_fp_sum", "word_freq_log_corr", zn_gate),
+        ("lfl_content_fp_sum", "lfl_r", content_gate),
+        ("head_fl_fp_sum", "head_freq_log", None),
+        ("sat_fl_fp_sum", "sat_freq_log", None),
+    ]:
+        expr = col if gate is None else f"CASE WHEN {gate} THEN {col} END"
+        L.append((name, f"CAST(COALESCE({sql_fp_sum(expr)}, 0) AS BIGINT)"))
+    return L
+
+
 def sentence_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended A1 sentence fold: the classifier battery summed at
     (doc, par, sent) grain — the reference's per-sentence counter block
-    (sentStats merge, tscan.cxx:2126-2865) for the extended families:
+    (sentStats ctor, tscan.cxx:2126-2865) for the extended families:
     morphological negation, personal references, nominalizations,
     compounds, intensifiers, formal words, unfound nouns, adverb types,
     verb forms, abbreviation domains, per-class connectives/situations,
-    per-class semantic types (broad + strict)."""
-    documents = corpus.load(spark, sf_dir, "documents")
-    tok = annotate.annotate_extended(annotate.annotate(corpus.tokens_long(documents)))
+    per-class semantic types (broad + strict) — PLUS the full
+    wordDifficulties/compound/frequency-band block of
+    :func:`_sent_wide_lines` (~150 counters total), so the sentence CSV
+    carries the same surface as the reference's per-sentence vector
+    (structstats.cxx:333-409). One pass: the lexicon-joined word grain
+    + a single partial+final hash aggregate on the sentence key."""
+    tok = _word_grain(spark, sf_dir)
     tag, sem = F.col("tag"), F.col("noun_sem")
     cnt = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
     aggs = [F.count(F.lit(1)).cast("long").alias("word_cnt")]
@@ -837,6 +926,8 @@ def sentence_features_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compound3_cnt",
         ),
     ]
+    # the A1-widen block: engine-shared aggregate SQL over the grain
+    aggs += [F.expr(sql).alias(name) for name, sql in _sent_wide_lines()]
     return tok.groupBy("doc_id", "par_idx", "sent_idx").agg(*aggs)
 
 
@@ -869,6 +960,7 @@ def sql_paragraph_features_ext() -> str:
         "name_cnt", "prenom_cnt", "vrij_cnt", "char_sum", "morph_sum",
         "compound3_cnt",
     ]
+    names += [name for name, _ in _sent_wide_lines()]
     sums = ",\n       ".join(f"CAST(SUM({n}) AS BIGINT) AS {n}" for n in names)
     return f"""
 WITH sentx AS ({inner})
@@ -937,18 +1029,14 @@ def sql_sentence_features_ext() -> str:
         f"{annotate.COMPOUND_MIN_LEN + annotate.COMPOUND_SAT_LEN} "
         "THEN 1 ELSE 0 END) AS BIGINT) AS compound3_cnt",
     ]
+    lines += [f"{sql} AS {name}" for name, sql in _sent_wide_lines()]
     lines_sql = ",\n           ".join(lines)
     return (
-        "WITH "
-        + corpus.SQL_TOK_CTE.strip()
-        + ",\n"
-        + annotate.sql_annot_cte().strip()
-        + ",\n"
-        + annotate.sql_annot_ext_cte().strip()
+        _sql_word_grain_with()
         + f"""
 SELECT doc_id, par_idx, sent_idx,
            {lines_sql}
-FROM annot_ext
+FROM wg
 GROUP BY doc_id, par_idx, sent_idx"""
     )
 

@@ -768,6 +768,17 @@ def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "surprisal_paragraph_features",
+    oracle=surprisal.sql_surprisal_paragraph_features(),
+)
+def q_surprisal_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 at paragraph grain: the Wopr cells of the reference's
+    paragraph CSV (avg-of-avgs within the paragraph,
+    structstats.cxx:984-1000) — the last Wopr-dependent surface."""
+    return surprisal.surprisal_paragraph_features(spark, sf_dir)
+
+
+@query(
     "tscan_staph_bands",
     oracle=(
         "WITH "
@@ -1014,25 +1025,46 @@ def _profile_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grain.withColumn("content_freq_log", F.when(gate, F.col("wf_freq_log")))
 
 
-def _doc_profile_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_profile_impl(
+    spark: SparkSession, sf_dir: str, staging_dir: str | None = None
+) -> DataFrame:
     """Shared-grain plan: ONE annotated token grain feeds every
     token-level battery and ONE parse-node grain (derived from the same
     token grain) feeds every parse battery — the profile's ~12
     aggregation paths share two analyzed lineages instead of 12
     independent ones (the round-2 multi-scan finding).
 
-    Deliberately NOT persisted at this scale: both grains are pure
-    codegen projections over a small scan, and measured persist cost
-    exceeded the recompute (37s vs 27s at sf0.1 — cache materialization
-    is a barrier plus a columnar encode/decode per consumer). At corpus
-    scale the 12 redundant scans DO dominate; the production shape is
-    the same topology with the two grains materialized ONCE to staging
-    (Iceberg/parquet) tables and the batteries scanning the staging
-    tables — see jobs/run_features.py + operators/checkpoint.py for the
-    staging machinery.
+    ``staging_dir=None`` (in-memory variant): the grains are NOT
+    persisted — both are pure codegen projections over a small scan,
+    and measured persist cost exceeded the recompute at sf0.1 (37s vs
+    27s — cache materialization is a barrier plus a columnar
+    encode/decode per consumer). Each aggregation path physically
+    recomputes the grain lineage; fine at bench scale, ~12 corpus
+    passes at 100 TB.
+
+    ``staging_dir=<path>`` (the PRODUCTION shape, PLANS.md:158-164):
+    the two grains are materialized ONCE to staging parquet tables and
+    every battery scans the staging tables — 2 corpus passes + one
+    doc_mtld scan + K vocabulary-sized broadcasts, never 12. On a
+    cluster ``staging_dir`` is an object-store/Iceberg path; a
+    resumable variant of the same write is
+    ``jobs/run_features.py --checkpoint`` (per-bucket lineage ledger,
+    operators/checkpoint.py).
     """
-    grain = _profile_grain(spark, sf_dir)
-    nodes = parse.parse_nodes(spark, sf_dir, tok=grain)
+    if staging_dir is not None:
+        import os
+
+        gpath = os.path.join(staging_dir, "token_grain")
+        npath = os.path.join(staging_dir, "parse_nodes")
+        _profile_grain(spark, sf_dir).write.mode("overwrite").parquet(gpath)
+        grain = spark.read.parquet(gpath)
+        parse.parse_nodes(spark, sf_dir, tok=grain).write.mode("overwrite").parquet(
+            npath
+        )
+        nodes = spark.read.parquet(npath)
+    else:
+        grain = _profile_grain(spark, sf_dir)
+        nodes = parse.parse_nodes(spark, sf_dir, tok=grain)
     builders = {
         "tscan_doc_features": lambda: pipeline.doc_features(spark, sf_dir, wordf=grain),
         "tscan_doc_features_ext": lambda: pipeline_ext.doc_features_ext(
@@ -1155,3 +1187,23 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     base counters + extended battery + fan-out/compound/density block +
     parse summary + NER + NP chunks + prevalence, one row per doc."""
     return _doc_profile_impl(spark, sf_dir)
+
+
+@query("tscan_doc_profile_staged", oracle=_render_profile_oracle(_profile_cols()))
+def q_doc_profile_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME profile vector through the production staged plan: the
+    annotated token grain and the parse-node grain are written ONCE to
+    staging parquet and all ~12 aggregation paths scan the staging
+    tables — the 100 TB shape (2 corpus passes, not 12; PLANS.md
+    'tscan_doc_profile — staged'). Values identical to
+    ``tscan_doc_profile`` (same oracle string)."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "tscan_spark_staging",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    return _doc_profile_impl(spark, sf_dir, staging_dir=root)

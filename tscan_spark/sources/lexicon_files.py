@@ -121,6 +121,101 @@ def load_topvals(spark: SparkSession, path_or_text: str, is_text: bool = False) 
     return spark.createDataFrame(rows, schema="word string, band string")
 
 
+# ---------------------------------------------------------------------------
+# fillN — the 6-column nouns_semtype.data format (tscan.cxx:223-262)
+# ---------------------------------------------------------------------------
+
+# SEM::classifyNoun (src/sem.cxx:159-192) mapped onto the engine's
+# coarse semantic classes (the fan-out batteries count CONCRETE /
+# ABSTRACT / HUMAN). "undefined" loads but classifies to no class
+# (UNDEFINED_NOUN — present in the lexicon, counted in neither class);
+# unknown strings classify as UNFOUND (None here, sem_unfound
+# downstream). The reference's BROAD_CONCRETE place/time/measure map to
+# CONCRETE — the engine's broad/strict axis is the N/ADJ tag gate, not
+# a per-class split.
+NOUN_SEM_CLASSES: dict[str, str | None] = {
+    "undefined": None,
+    "human": "HUMAN",
+    "concrother": "CONCRETE",
+    "institut": "CONCRETE",
+    "substance_conc": "CONCRETE",
+    "artefact": "CONCRETE",
+    "nonhuman": "CONCRETE",
+    "voed_verz": "CONCRETE",
+    "dynamic_conc": "CONCRETE",
+    "place": "CONCRETE",
+    "time": "CONCRETE",
+    "measure": "CONCRETE",
+    "substance_abstr": "ABSTRACT",
+    "dynamic_abstr": "ABSTRACT",
+    "nondynamic": "ABSTRACT",
+}
+
+
+def parse_nouns_semtype(
+    lines,
+) -> list[tuple[str, str, str | None, int, str | None, str | None, int | None]]:
+    """fillN semantics (tscan.cxx:223-262): tab-separated rows of either
+    3 values (word, semtype, is_compound) or 6 (plus head,
+    satellite_clean, compound_parts); any other arity is skipped with
+    the reference's "skip line" behavior. Returns rows
+    (word, sem_type, sem_class, is_compound, head, satellite, parts).
+    """
+    out = []
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        parts = line.split("\t")
+        if len(parts) not in (3, 6):
+            continue  # reference: "skip line ... expected 3 or 6 values"
+        word, semtype, comp_s = parts[0], parts[1], parts[2]
+        is_comp = 1 if comp_s == "1" else 0
+        head = sat = None
+        n_parts = None
+        if is_comp and len(parts) == 6:
+            head, sat = parts[3], parts[4]
+            try:
+                n_parts = int(parts[5])
+            except ValueError:
+                n_parts = 0  # reference atoi() semantics
+        out.append(
+            (
+                word,
+                semtype,
+                NOUN_SEM_CLASSES.get(semtype),
+                is_comp,
+                head,
+                sat,
+                n_parts,
+            )
+        )
+    return out
+
+
+def load_nouns_semtype(
+    spark: SparkSession, path_or_text: str, is_text: bool = False
+) -> DataFrame:
+    """Load a fillN-format nouns file into a broadcastable dimension:
+    (word, sem_type, sem_class, is_compound, comp_head, comp_sat,
+    comp_parts). Feeds the W10/W11 classification and the W25 compound
+    head/satellite block via :func:`tscan_spark.annotate.nouns_dim_lookup`
+    (broadcast findInflected cascade)."""
+    if is_text:
+        lines = io.StringIO(path_or_text)
+    else:
+        lines = open(path_or_text, encoding="utf-8")
+    with lines:
+        rows = parse_nouns_semtype(lines)
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "word string, sem_type string, sem_class string, is_compound int,"
+            " comp_head string, comp_sat string, comp_parts int"
+        ),
+    )
+
+
 def parse_prevalences(lines) -> list[tuple[str, float, float]]:
     """fill_prevalences (tscan.cxx:707-742): 6-column whitespace rows;
     '#' comments and malformed lines skipped; percentage/zscore from
