@@ -22,7 +22,14 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--queries", default="")
-    ap.add_argument("--repeat", type=int, default=1)
+    # best-of-2 by default: this shared host has documented noise
+    # windows that inflate random queries 3-6x within a single battery
+    # (BENCH.md round-4 adjudication), and a query's first execution
+    # also carries its one-time codegen/JIT cost; the second sample
+    # reports warm steady-state, so one noise spike or cold compile
+    # cannot masquerade as a regression. Wall time doubles; the
+    # reported per-query numbers are the reproducible ones.
+    ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
 
     from tscan_spark.session import get_spark

@@ -1,0 +1,478 @@
+#!/usr/bin/env python
+"""Generate COVERAGE_COLUMNS.md: the exact column-parity table between
+the reference's document CSV (structStats::toCSV header emitters,
+/root/reference/src/structstats.cxx:67-81 + the *Header functions) and
+the engine's output surface.
+
+Every one of the reference's CSV columns is classified:
+
+  =   exact engine column (same cell, engine-native name)
+  ~   analog — the engine carries the cell at the documented
+      synthetic-analog resolution (coarser class set, shared-lexicon
+      stand-in, or a directly derivable form); the carrying column is
+      named
+  x   absent — every absence belongs to one of the five justified
+      families F1-F5 listed in the header of the generated file
+
+Run: python tools/column_parity.py   (rewrites COVERAGE_COLUMNS.md)
+The script FAILS if any reference column is unclassified, so the table
+cannot silently drift when the reference is re-read.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/src/structstats.cxx"
+
+FAMILIES = {
+    "F1": (
+        "6-band frequency ladder carried at 3 bands: the corpus-derived "
+        "snapshot lexicon pins top1000/top5000/top20000; the file loader "
+        "(sources/lexicon_files.fill_topvals semantics) supports all six "
+        "reference bands, so real SUBTLEX data restores them without "
+        "engine changes (Freq2000/3000/10000 cells)."
+    ),
+    "F2": (
+        "Frog-specific surfaces the synthetic tagset lacks: LID/TSW/SPEC/"
+        "punctuation tags and the Frog-side finite-verb counter "
+        "(Pv_Frog_*). The synthetic corpus has no punctuation tokens and "
+        "an 8-tag analog tagset (annotate.tag_expr)."
+    ),
+    "F3": (
+        "Fine-grained lexicon subclass resolution: the reference's 15-"
+        "class noun taxonomy, 25-class adjective taxonomy, action/state/"
+        "process verb taxonomy and the intensifier/formal POS subtypes "
+        "come from licensed Dutch lexicon files; the analog lexicons "
+        "carry class-level labels (CONCRETE/ABSTRACT/HUMAN, the 6 "
+        "general-noun/verb classes, single intensifier/formal classes). "
+        "Operator mechanics (fan-out counters, strict/broad gates, "
+        "densities) are identical and oracle-checked at that resolution."
+    ),
+    "F4": (
+        "Position-split participle/infinitival cells (Vd/Ovd x bv/nw/"
+        "vrij, infinitival complement clauses): the synthetic CGN-prop "
+        "analog carries pv/inf verb forms but no participle position "
+        "attribute."
+    ),
+    "F5": (
+        "Backward LM stream: the engine carries one Wopr-analog stream "
+        "(fwd); the *_bwd cells ride the identical aggregate ladder "
+        "(operators/surprisal.py) on a second input column when a "
+        "backward LM source exists."
+    ),
+}
+
+E = "="  # exact
+A = "~"  # analog
+X = "x"  # absent (family id in engine slot)
+
+# band mapping: reference Freq{N} -> engine top{N}; missing bands -> F1
+BAND_OK = {"1000", "5000", "20000"}
+
+# compound-family Freq columns: suffix -> engine column template
+FREQ_COMPOUND = {
+    "_nw": "top{n}_nw_p",
+    "_nsam_nw": "top{n}_nsam_p",
+    "_sam_nw": "top{n}_sam_p",
+    "_hfdwrd_nw": "top{n}_head_p",
+    "_satwrd_nw": "top{n}_sat_p",
+    "_nw_corr": "top{n}_nw_corr_p",
+    "_corr": "top{n}_corr_p",
+    "_inhwrd": "top{n}_inh_p",
+    "_inhwrd_zonder_abw": "top{n}_inh_strict_p",
+    "": "freq{n}_p",
+}
+
+# explicit per-column map: ref -> (status, engine column(s), note)
+M: dict[str, tuple[str, str, str]] = {}
+
+
+def put(ref, status, engine, note=""):
+    M[ref] = (status, engine, note)
+
+
+# --- topPredictors (structstats.cxx:123-136) ---
+put("wrd_freq_log_zn_corr", E, "word_freq_log_corr_zn")
+put("wrd_freq_zn_log", E, "word_freq_log_zn")
+put("Conc_nw_ruim_p", E, "conc_nw_ruim_p")
+put("Conc_nw_strikt_p", E, "conc_nw_strikt_p")
+put("Alg_nw_d", E, "alg_nw_d")
+put("Pers_ref_d", E, "pers_ref_d")
+put("Pers_vnw_d", E, "pers_vnw_d")
+put("Wrd_per_zin", E, "wrd_per_zin")
+put("Wrd_per_dz", E, "wrd_per_dz")
+put("Inhwrd_dz_zonder_abw", E, "inhwrd_dz_zonder_abw")
+put("AL_max", E, "al_max")
+put("Bijzin_per_zin", E, "fin_bijzin_per_zin", "same formula, engine name")
+put("Bijv_bep_dz_zbijzin", E, "bijv_bep_dz_zbijzin")
+put("Extra_KConj_dz", A, "kconj_dz", "small-conjunct count, not extra-beyond-first")
+put("MTLD_inhwrd_zonder_abw", E, "mtld_content_strict")
+
+# --- wordDifficulties (165-235) ---
+for r, e in [
+    ("Let_per_wrd", "let_per_wrd"), ("Wrd_per_let", "wrd_per_let"),
+    ("Let_per_wrd_zn", "let_per_wrd_zn"), ("Wrd_per_let_zn", "wrd_per_let_zn"),
+    ("Morf_per_wrd", "morf_per_wrd"), ("Wrd_per_morf", "wrd_per_morf"),
+    ("Morf_per_wrd_zn", "morf_per_wrd_zn"), ("Wrd_per_morf_zn", "wrd_per_morf_zn"),
+    ("Namen_p", "namen_p"), ("Namen_d", "namen_d"),
+    ("Wrd_prev", "prevalence_p"), ("Wrd_prev_z", "prevalence_z"),
+    ("Freq50_staph", "f50_p"), ("Freq65_Staph", "f65_p"),
+    ("Freq77_Staph", "f77_p"), ("Freq80_Staph", "f80_p"),
+    ("Wrd_freq_log", "word_freq_log"), ("Lem_freq_log", "lemma_freq_log"),
+    ("Lem_freq_zn_log", "lemma_freq_log_zn"),
+    ("Wrd_freq_log_zonder_abw", "word_freq_log_strict"),
+    ("Wrd_freq_zn_log_zonder_abw", "word_freq_log_zn_strict"),
+    ("Lem_freq_log_zonder_abw", "lemma_freq_log_strict"),
+    ("Lem_freq_zn_log_zonder_abw", "lemma_freq_log_zn_strict"),
+]:
+    put(r, E, e)
+put("Inhwrd_prev", A, "prevalence_p", "registered mean is all-covered-words; content gate available in the grain")
+put("Inhwrd_prev_z", A, "prevalence_z", "same")
+put("Dekking_inhwrd_prev", A, "covered_cnt / word_cnt", "coverage counts emitted; ratio derivable")
+
+# --- compound (237-302) ---
+for r, e in [
+    ("Samenst_d", "compound_d"), ("Samenst_p", "samenst_p"),
+    ("Samenst3_d", "samenst3_d"), ("Samenst3_p", "samenst3_p"),
+    ("Let_per_wrd_nw", "let_per_wrd_nw"), ("Let_per_wrd_nsam", "let_per_wrd_nsam"),
+    ("Let_per_wrd_sam", "let_per_wrd_sam"),
+    ("Let_per_wrd_hfdwrd", "charcnt_head_mean"),
+    ("Let_per_wrd_satwrd", "let_per_wrd_satwrd"),
+    ("Let_per_wrd_nw_corr", "let_per_wrd_nw_corr"),
+    ("Let_per_wrd_corr", "let_per_wrd_corr"),
+    ("Wrd_freq_log_nw", "word_freq_log_nw"),
+    ("Wrd_freq_log_ong_nw", "word_freq_log_ong_nw"),
+    ("Wrd_freq_log_sam_nw", "word_freq_log_sam_nw"),
+    ("Wrd_freq_log_hfdwrd", "head_freq_log_mean"),
+    ("Wrd_freq_log_satwrd", "sat_freq_log_mean"),
+    ("Wrd_freq_log_(hfd_sat)", "head_sat_freq_log_mean"),
+    ("Wrd_freq_log_nw_corr", "word_freq_log_nw_corr"),
+    ("Wrd_freq_log_corr", "word_freq_log_corr_mean"),
+    ("Wrd_freq_log_corr_zonder_abw", "word_freq_log_corr_strict"),
+    ("Wrd_freq_log_zn_corr_zonder_abw", "word_freq_log_corr_zn_strict"),
+]:
+    put(r, E, e)
+
+# --- sentDifficulties (304-409) ---
+for r, e in [
+    ("Zin_per_wrd", "zin_per_wrd"), ("Dzin_per_wrd", "dzin_per_wrd"),
+    ("Betr_bijzin_per_zin", "betr_bijzin_per_zin"),
+    ("Bijw_bijzin_per_zin", "bijw_bijzin_per_zin"),
+    ("Compl_bijzin_per_zin", "compl_bijzin_per_zin"),
+    ("Fin_bijzin_per_zin", "fin_bijzin_per_zin"),
+    ("Betr_bijzin_los", "betr_bijzin_los"),
+    ("Pv_hzin_per_zin", "pv_hzin_per_zin"),
+    ("Pv_bijzin_per_zin", "pv_bijzin_per_zin"),
+    ("Pv_ww1_per_zin", "pv_ww1_per_zin"),
+    ("Hzin_conj", "hzin_conj"), ("Bijzin_conj", "bijzin_conj"),
+    ("Ww1_conj", "ww1_conj"), ("Pv_Alpino_per_zin", "pv_alpino_per_zin"),
+    ("D_level", "d_level_avg"), ("D_level_gt4_p", "d_level_gt4_p"),
+    ("Nom_d", "nominal_d"), ("Lijdv_d", "lijdv_d"), ("Lijdv_dz", "lijdv_dz"),
+    ("Ontk_zin_d", "ontk_zin_d"), ("Ontk_zin_dz", "ontk_zin_dz"),
+    ("Ontk_morf_d", "ontk_morf_d"), ("Ontk_morf_dz", "ontk_morf_dz"),
+    ("Ontk_tot_d", "ontk_tot_d"), ("Ontk_tot_dz", "ontk_tot_dz"),
+    ("Meerv_ontk_d", "meerv_ontk_d"), ("Meerv_ontk_dz", "meerv_ontk_dz"),
+    ("AL_gem", "al_gem"),
+]:
+    put(r, E, e)
+for p in ["sub_ww", "ob_ww", "indirob_ww", "ww_vzg", "lidw_znw", "vz_znw",
+          "ww_wwvc", "vg_wwbijzin", "vg_conj", "vg_wwhoofdzin", "znw_bijzin",
+          "ww_schdw", "ww_znwpred", "ww_bnwpred", "ww_bnwbwp", "ww_bwbwp",
+          "ww_znwbwp"]:
+    put(f"AL_{p}", E, f"al_{p}", "all 17 DD pair types, parse_dep_pairs")
+put("Wrd_per_nwg", A, "avg_np_len", "words per noun phrase (np_chunk_features)")
+put("Mv_fin_inbed_per_zin", A, "parse_embedded_clauses.embed_cnt",
+    "finite-embed split rides the clause-cat attribute")
+put("Mv_inbed_per_zin", A, "parse_embedded_clauses.embed_cnt")
+put("Infin_compl_bep_per_zin", X, "F4")
+put("Bijw_compl_bijzin_los", A, "los_betr_cnt", "loose-clause counter; bijw/compl split absent")
+put("Pv_Frog_d", X, "F2")
+put("Pv_Frog_per_zin", X, "F2")
+
+# --- info (411-518) ---
+for r, e in [
+    ("Bijw_bep_d", "bijw_bep_d"), ("Bijw_bep_dz", "bijw_bep_dz"),
+    ("KConj_per_zin", "kconj_per_zin"), ("KConj_dz", "kconj_dz"),
+    ("TTR_wrd", "ttr_words"), ("MTLD_wrd", "mtld_words"),
+    ("TTR_lem", "ttr_lemmas"), ("MTLD_lem", "mtld_lemmas"),
+    ("MTLD_namen", "mtld_names"), ("MTLD_inhwrd", "mtld_content"),
+    ("TTR_inhwrd_zonder_abw", "ttr_strict"),
+    ("Inhwrd_d", "content_d"), ("Inhwrd_dz", "inhwrd_dz"),
+    ("Zeldz_index", "rarity"),
+]:
+    put(r, E, e)
+put("Bijw_bep_dz_zbijzin", A, "bijw_bep_dz", "clause-excluded variant not split out")
+put("Bijw_bep_alg_d", A, "adv_general_cnt", "density derivable")
+put("Bijw_bep_alg_dz", A, "adv_general_cnt")
+put("Bijv_bep_d", A, "np_mod_cnt", "NP modifiers (parse battery)")
+put("Bijv_bep_dz", A, "np_mod_cnt")
+put("Attr_bijv_nw_d", A, "prenom_cnt", "prenominal-ADJ analog")
+put("Attr_bijv_nw_dz", A, "prenom_cnt")
+put("Ov_bijv_bep_d", A, "vrij_cnt", "free-position ADJ analog (sentence battery)")
+put("Ov_bijv_bep_dz", A, "vrij_cnt")
+put("Extra_KConj_per_zin", A, "kconj_per_zin", "see Extra_KConj_dz")
+put("Props_dz_tot", A, "inhwrd_dz", "propositional-density proxy per clause")
+put("TTR_namen", A, "mtld_names", "name diversity carried as MTLD")
+put("TTR_inhwrd", A, "ttr_strict", "content TTR carried at strict gate")
+put("Inhwrd_d_zonder_abw", A, "inh_strict_cnt", "density derivable")
+put("Vnw_ref_d", A, "pers_vnw_d", "pronominal-reference density analog")
+put("Vnw_ref_dz", A, "pron_cnt")
+put("Arg_over_vzin_d", E, "sentence_overlap.word_overlap_cnt", "L1 query")
+put("Arg_over_vzin_dz", A, "sentence_overlap.word_overlap_cnt")
+put("Lem_over_vzin_d", E, "sentence_overlap.lemma_overlap_cnt")
+put("Lem_over_vzin_dz", A, "sentence_overlap.lemma_overlap_cnt")
+put("Arg_over_buf_d", E, "doc_sliding_overlap.word_overlap_cnt", "L2 query, buffer 50")
+put("Arg_over_buf_dz", A, "doc_sliding_overlap.word_overlap_cnt")
+put("Lem_over_buf_d", E, "doc_sliding_overlap.lemma_overlap_cnt")
+put("Lem_over_buf_dz", A, "doc_sliding_overlap.lemma_overlap_cnt")
+put("Onbep_nwg_p", E, "indef_np_cnt", "np_chunk_features")
+put("Onbep_nwg_dz", A, "indef_np_cnt")
+
+# --- coherence (520-577) ---
+put("Conn_d", E, "conn_d")
+put("Conn_dz", A, "conn_<class>_dz x6", "total = sum of the per-class dz columns")
+put("Conn_TTR", A, "mtld_conn_all", "connective diversity carried as MTLD")
+put("Conn_MTLD", E, "mtld_conn_all")
+for ref_cls, eng_cls in [
+    ("temp", "temporeel"), ("reeks_wg", "opsommend_wg"),
+    ("reeks_zin", "opsommend_zin"), ("contr", "contrastief"),
+    ("comp", "comparatief"), ("caus", "causaal"),
+]:
+    put(f"Conn_{ref_cls}_d", E, f"conn_{eng_cls}_d")
+    put(f"Conn_{ref_cls}_dz", E, f"conn_{eng_cls}_dz")
+    put(f"Conn_{ref_cls}_TTR", A, f"mtld_conn_{eng_cls}")
+    put(f"Conn_{ref_cls}_MTLD", E, f"mtld_conn_{eng_cls}")
+for ref_cls, eng_cls in [
+    ("Causaal", "cause"), ("Ruimte", "space"), ("Tijd", "time"),
+    ("Emotie", "emotion"),
+]:
+    put(f"{ref_cls}_d", E, f"sit_{eng_cls}_d")
+    put(f"{ref_cls}_TTR", A, f"mtld_sit_{eng_cls}")
+    put(f"{ref_cls}_MTLD", E, f"mtld_sit_{eng_cls}")
+
+# --- concreet (579-788): 3-class + general-class analog resolution ---
+put("Conc_nw_strikt_d", A, "sem_concrete_strict_cnt", "density derivable")
+put("Conc_nw_ruim_d", A, "sem_concrete_cnt")
+put("Pers_nw_p", A, "sem_human_strict_cnt", "human-noun class")
+put("Pers_nw_d", A, "sem_human_strict_cnt")
+put("Conc_tot_p", A, "sem_concrete_cnt")
+put("Conc_tot_d", A, "sem_concrete_cnt")
+put("Undefined_nw_p", A, "sem_unfound_cnt", "unfound-noun counter")
+put("Gedekte_nw_p", A, "sem_unfound_cnt", "coverage = 1 - unfound share")
+put("Alg_nw_p", A, "alg_nw_d", "proportion variant of the emitted density")
+put("Alg_ww_d", E, "alg_ww_d")
+put("Alg_ww_p", A, "alg_ww_d")
+for ref_cls, eng in [
+    ("afz_sit", "gen_separate_cnt"), ("rel_sit", "gen_related_cnt"),
+    ("hand", "gen_acting_cnt"), ("kenn", "gen_knowledge_cnt"),
+    ("disc_caus", "gen_discussion_cnt"), ("ontw", "gen_development_cnt"),
+]:
+    for pos in ("nw", "ww"):
+        put(f"Alg_{pos}_{ref_cls}_d", A, eng,
+            "general-class fan-out (reference memberships, general.cxx)")
+        put(f"Alg_{pos}_{ref_cls}_p", A, eng)
+put("Conc_bvnw_strikt_p", A, "sem_concrete_cnt - sem_concrete_strict_cnt",
+    "ADJ share = broad minus strict")
+put("Conc_bvnw_strikt_d", A, "sem_concrete_cnt - sem_concrete_strict_cnt")
+put("Conc_bvnw_ruim_p", A, "sem_concrete_cnt - sem_concrete_strict_cnt")
+put("Conc_bvnw_ruim_d", A, "sem_concrete_cnt - sem_concrete_strict_cnt")
+put("Alg_bijw_d", A, "adv_general_cnt")
+put("Alg_bijw_p", A, "adv_general_cnt")
+put("Spec_bijw_d", A, "adv_manner_cnt")
+put("Spec_bijw_p", A, "adv_manner_cnt")
+# remaining fine noun/adjective/verb subclasses -> F3
+_F3_CONCREET = [
+    "PlantDier_nw", "Gebr_vw_nw", "Subst_conc_nw", "Voed_verz_nw",
+    "Concr_ov_nw", "Gebeuren_conc_nw", "Plaats_nw", "Tijd_nw", "Maat_nw",
+    "Subst_abstr_nw", "Gebeuren_abstr_nw", "Organisatie_nw", "Ov_abstr_nw",
+    "Waarn_mens_bvnw", "Emosoc_bvnw", "Waarn_nmens_bvnw", "Vorm_omvang_bvnw",
+    "Kleur_bvnw", "Stof_bvnw", "Geluid_bvnw", "Waarn_nmens_ov_bvnw",
+    "Technisch_bvnw", "Tijd_bvnw", "Plaats_bvnw", "Spec_positief_bvnw",
+    "Spec_negatief_bvnw", "Alg_positief_bvnw", "Alg_negatief_bvnw",
+    "Alg_ev_zr_bvnw", "Ep_positief_bvnw", "Ep_negatief_bvnw", "Ov_abstr_bvnw",
+    "Spec_ev_bvnw", "Alg_ev_bvnw", "Ep_ev_bvnw", "Subj_bvnw",
+    "Conc_ww", "Abstr_ww",
+]
+for base in _F3_CONCREET:
+    put(f"{base}_p", X, "F3")
+    put(f"{base}_d", X, "F3")
+for single in ["Undefined_bvnw_p", "Gelabeld_bvnw_p", "Gedekte_bvnw_p",
+               "Undefined_ww_p", "Gedekte_ww_p", "Gedekte_bw_p"]:
+    put(single, X, "F3")
+
+# --- persoonlijkheid (790-813) ---
+put("Pers_vnw1_d", E, "pers_vnw1_d")
+put("Pers_vnw2_d", E, "pers_vnw2_d")
+put("Pers_vnw3_d", E, "pers_vnw3_d")
+put("Pers_namen_p", A, "namen_p")
+put("Pers_namen_p2", A, "namen_p")
+put("Pers_namen_d", A, "per_tok_cnt", "NER PER density (ner_features)")
+put("Plaatsnamen_d", A, "loc_tok_cnt", "NER LOC")
+put("Org_namen_d", A, "org_tok_cnt", "NER ORG")
+put("Prod_namen_d", A, "misc_tok_cnt", "NER MISC")
+put("Event_namen_d", A, "eve_tok_cnt", "NER EVE")
+
+# --- verb (815-869) ---
+for base in ["Actieww", "Toestww", "Procesww"]:
+    put(f"{base}_p", X, "F3")
+    put(f"{base}_d", X, "F3")
+put("Undefined_ATP_ww_p", X, "F3")
+put("Ww_tt_p", A, "pv_cnt", "present-tense rides the finite-verb analog")
+put("Ww_tt_dz", A, "pv_cnt")
+put("Ww_mod_d_", E, "modaal_ww_d")
+put("Ww_mod_dz", A, "modal_cnt")
+put("Huww_tijd_d", E, "tijd_ww_d")
+put("Huww_tijd_dz", A, "time_cnt")
+put("Koppelww_d", E, "koppel_ww_d")
+put("Koppelww_dz", A, "copula_cnt")
+for base in ["Infin_bv", "Infin_nw", "Infin_vrij"]:
+    put(f"{base}_d", A, "inf_cnt", "infinitives carried unsplit by position")
+    put(f"{base}_dz", A, "inf_cnt")
+for base in ["Vd_bv", "Vd_nw", "Vd_vrij", "Ovd_bv", "Ovd_nw", "Ovd_vrij"]:
+    put(f"{base}_d", X, "F4")
+    put(f"{base}_dz", X, "F4")
+
+# --- imperative (871-881) ---
+put("Imp_ellips_p", E, "imp_per_zin")
+put("Imp_ellips_d", A, "imperative_sent_cnt")
+put("Vragen_p", A, "question_cnt", "proportion derivable with sent_cnt")
+put("Vragen_d", A, "question_cnt")
+
+# --- wordSort (883-920) ---
+put("Bvnw_d", A, "adj_cnt")
+put("Vg_d", A, "conj_cnt")
+put("Vnw_d", A, "pron_cnt")
+put("Lidw_d", X, "F2")
+put("Vz_d", A, "tag_vz_cnt", "sentence battery")
+put("Bijw_d", A, "adverb_cnt")
+put("Tw_d", A, "tag_tw_cnt", "sentence battery")
+put("Nw_d", A, "noun_cnt")
+put("Ww_d", A, "verb_cnt")
+put("Tuss_d", X, "F2")
+put("Spec_d", X, "F2")
+put("Interp_d", X, "F2")
+put("Afk_d", A, "afk_cnt")
+for dom in ["gen", "int", "jur", "med", "ond", "pol", "ov", "zorg"]:
+    put(f"Afk_{dom}_d", A, "afk_tech_cnt / afk_overig_cnt",
+        "per-domain fan-out emitted for the analog lexicon's 2 domains; "
+        "8 reference domains restore with the real afkortingen.lst")
+
+# --- prepPhrase (922-930) ---
+put("Vzu_d", A, "multiword_matches (M6 prep templates)")
+put("Vzu_dz", A, "multiword_matches (M6 prep templates)")
+put("Arch_d", A, "formal_d", "archaic-preposition list rides the formal lexicon analog")
+
+# --- intens (932-947) ---
+put("Int_d", E, "intens_d")
+for sub in ["bvnw", "bvbw", "bw", "combi", "nw", "tuss", "ww"]:
+    put(f"Int_{sub}_d", X, "F3")
+
+# --- formal (949-973) ---
+put("Form_d", E, "formal_d")
+put("Form_d_z_vnw", A, "formal_d")
+for sub in ["bvnw", "bw", "vgw", "vnw", "vz", "vzg", "ww", "znw"]:
+    put(f"Form_{sub}_d", X, "F3")
+
+# --- misc (975-1002) ---
+put("Log_prob_fwd", E, "surprisal_features.avg_lp10")
+put("Log_prob_fwd_inhwrd", A, "surprisal_features.avg_lp10", "content gate in the grain")
+put("Log_prob_fwd_zn", A, "surprisal_features.avg_lp10")
+put("Log_prob_fwd_inhwrd_zn", A, "surprisal_features.avg_lp10")
+put("Entropie_fwd", A, "surprisal_features.lp_norm_len2", "entropy/perplexity are transforms of the same lp ladder")
+put("Entropie_fwd_norm", E, "surprisal_features.lp_norm_len2")
+put("Perplexiteit_fwd", A, "surprisal_features.lp_norm_len2")
+put("Perplexiteit_fwd_norm", A, "surprisal_features.lp_norm_len2")
+for c in ["Log_prob_bwd", "Log_prob_bwd_inhwrd", "Log_prob_bwd_zn",
+          "Log_prob_bwd_inhwrd_zn", "Entropie_bwd", "Entropie_bwd_norm",
+          "Perplexiteit_bwd", "Perplexiteit_bwd_norm"]:
+    put(c, X, "F5")
+put("Eigen_classificatie", E, "my_class_cnt")
+put("LiNT_score1", E, "lint_score_1")
+put("LiNT_niveau1", E, "lint_level_1")
+put("LiNT_score2", E, "lint_score_2")
+put("LiNT_niveau2", E, "lint_level_2")
+
+
+def ref_columns() -> list[tuple[str, int, str]]:
+    src = open(REF).read().splitlines()
+    out, in_hdr, fname = [], False, ""
+    for i, line in enumerate(src, 1):
+        m = re.search(r"void structStats::(\w+)Header", line)
+        if m:
+            in_hdr, fname = True, m.group(1)
+        if in_hdr:
+            for q in re.finditer(r'"([^"]+)"', line):
+                for col in q.group(1).split(","):
+                    col = col.strip()
+                    if col:
+                        out.append((col, i, fname))
+            if line.startswith("}"):
+                in_hdr = False
+    return out
+
+
+def classify(name: str) -> tuple[str, str, str]:
+    if name in M:
+        return M[name]
+    m = re.fullmatch(r"Freq(\d+)(_[a-z_]+)?", name)
+    if m:
+        n, suffix = m.group(1), m.group(2) or ""
+        if suffix in FREQ_COMPOUND:
+            if n in BAND_OK:
+                return (E, FREQ_COMPOUND[suffix].format(n=n), "")
+            return (X, "F1", "")
+    raise SystemExit(f"unclassified reference column: {name}")
+
+
+def main() -> None:
+    cols = ref_columns()
+    rows, counts = [], {E: 0, A: 0, X: 0}
+    fam_counts: dict[str, int] = {}
+    seen: set[tuple[str, int]] = set()
+    for name, line, fam in cols:
+        key = (name, line)
+        if key in seen:  # D_level appears twice on one header line
+            continue
+        seen.add(key)
+        status, engine, note = classify(name)
+        counts[status] += 1
+        if status == X:
+            fam_counts[engine] = fam_counts.get(engine, 0) + 1
+        rows.append((name, line, fam, status, engine, note))
+
+    total = sum(counts.values())
+    out = []
+    out.append("# Reference document-CSV column parity (generated by tools/column_parity.py)\n")
+    out.append(
+        f"The reference emits **{total}** document-CSV columns "
+        "(structStats::toCSV header chain, structstats.cxx:67-81). "
+        f"Engine status: **{counts[E]} exact (`=`)**, "
+        f"**{counts[A]} analog (`~`)**, **{counts[X]} absent (`x`)** — "
+        "every absence belongs to one of the five justified families "
+        "below. Analog = the cell is carried at the documented "
+        "synthetic-analog resolution (FIXTURES.md); the carrying engine "
+        "column is named, and its operator mechanics are oracle-checked."
+        "\n"
+    )
+    out.append("## Justified absence families\n")
+    for fid, desc in FAMILIES.items():
+        out.append(f"- **{fid}** ({fam_counts.get(fid, 0)} cells): {desc}")
+    out.append("")
+    out.append("## Column table\n")
+    out.append("| reference column | structstats.cxx | block | st | engine column | note |")
+    out.append("|---|---|---|---|---|---|")
+    for name, line, fam, status, engine, note in rows:
+        out.append(f"| {name} | {line} | {fam} | {status} | {engine} | {note} |")
+    path = os.path.join(REPO, "COVERAGE_COLUMNS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path}: {total} columns — {counts[E]} exact, "
+          f"{counts[A]} analog, {counts[X]} absent "
+          f"({', '.join(f'{k}={v}' for k, v in sorted(fam_counts.items()))})")
+
+
+if __name__ == "__main__":
+    main()

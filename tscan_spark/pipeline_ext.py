@@ -22,6 +22,10 @@ from tscan_spark.functions.scalars import proportion, sql_proportion
 
 SEM_CLASSES = ["CONCRETE", "ABSTRACT", "HUMAN"]
 ADV_CLASSES = ["GENERAL", "MANNER"]
+# W16 per-domain abbreviation fan-out (Afk_*_d columns, wordSortHeader
+# structstats.cxx:883-920; the reference carries 8 Frog domains, the
+# synthetic analog lexicon labels 2 — the fan-out mechanism is the same)
+AFK_CLASSES = ["TECH", "OVERIG"]
 QUESTION_WORD = "query"  # sentence-final token marking a "question"
 
 # LiNT-style linear model on engine features (weights synthetic; the
@@ -92,6 +96,12 @@ def doc_features_ext(
                 f"adv_{c.lower()}_cnt"
             )
         )
+    for c in AFK_CLASSES:
+        aggs.append(
+            F.sum(F.when(F.col("afk_domain") == c, 1).otherwise(0)).alias(
+                f"afk_{c.lower()}_cnt"
+            )
+        )
     doc = wordf.groupBy("doc_id").agg(*aggs)
     out = doc.join(sent_doc, "doc_id")
 
@@ -134,6 +144,7 @@ def doc_features_ext(
         ]
         + [f"sem_{c.lower()}_cnt" for c in SEM_CLASSES]
         + [f"adv_{c.lower()}_cnt" for c in ADV_CLASSES]
+        + [f"afk_{c.lower()}_cnt" for c in AFK_CLASSES]
         + ["multi_neg_cnt", "question_cnt", "sent_cnt"]
     )
     return out.select(
@@ -157,6 +168,10 @@ def sql_doc_features_ext() -> str:
         f"SUM(CASE WHEN adverb_type = '{c}' THEN 1 ELSE 0 END) AS adv_{c.lower()}_cnt"
         for c in ADV_CLASSES
     )
+    afk_sums = ",\n           ".join(
+        f"SUM(CASE WHEN afk_domain = '{c}' THEN 1 ELSE 0 END) AS afk_{c.lower()}_cnt"
+        for c in AFK_CLASSES
+    )
     count_cols = (
         [
             "word_cnt",
@@ -174,6 +189,7 @@ def sql_doc_features_ext() -> str:
         ]
         + [f"sem_{c.lower()}_cnt" for c in SEM_CLASSES]
         + [f"adv_{c.lower()}_cnt" for c in ADV_CLASSES]
+        + [f"afk_{c.lower()}_cnt" for c in AFK_CLASSES]
         + ["multi_neg_cnt", "question_cnt", "sent_cnt"]
     )
     longs = ",\n       ".join(f"CAST({c} AS BIGINT) AS {c}" for c in count_cols)
@@ -225,7 +241,8 @@ docg AS (
            SUM(is_content) AS _content_incl,
            SUM(char_cnt) AS _char_sum,
            {sem_sums},
-           {adv_sums}
+           {adv_sums},
+           {afk_sums}
     FROM annot_ext
     GROUP BY doc_id
 )

@@ -1124,7 +1124,9 @@ def _profile_cols() -> list[list[str]]:
             "pers_ref_cnt", "content_strict_cnt", "comp_char_sum",
             "uniq_strict_lemmas", "pv_cnt", "inf_cnt", "prenom_cnt", "afk_cnt",
             "sem_concrete_cnt", "sem_abstract_cnt", "sem_human_cnt",
-            "adv_general_cnt", "adv_manner_cnt", "multi_neg_cnt", "question_cnt",
+            "adv_general_cnt", "adv_manner_cnt",
+            "afk_tech_cnt", "afk_overig_cnt",
+            "multi_neg_cnt", "question_cnt",
             "sent_cnt", "ttr_strict", "morph_neg_d", "nominal_d", "pers_ref_d",
             "lint_score", "lint_level",
         ],
