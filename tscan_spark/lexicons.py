@@ -24,7 +24,17 @@ from tscan_spark.functions.scalars import freq_log, sql_freq_log
 # a 20k lexicon, fill_topvals src/tscan.cxx:492-534; the synthetic vocab
 # is ~31 words so thresholds scale down, semantics — membership in a
 # smaller band implies all larger bands (src/tscan.cxx:2366-2400) — kept).
-BANDS = [("top1000", 5), ("top5000", 10), ("top20000", 20)]
+# All SIX reference bands (Freq1000..Freq20000, top1000/2000/3000/5000/
+# 10000/20000 in fill_topvals; sources/lexicon_files.TOP_BANDS carries
+# the same six for real data files).
+BANDS = [
+    ("top1000", 5),
+    ("top2000", 7),
+    ("top3000", 9),
+    ("top5000", 12),
+    ("top10000", 16),
+    ("top20000", 20),
+]
 
 
 def word_freq(documents: DataFrame) -> DataFrame:

@@ -214,9 +214,12 @@ def doc_features(
         r6(proportion(F.col("content_cnt") * 1000.0, "word_cnt")).alias("content_d"),
         r6(proportion(F.col("neg_cnt") * 1000.0, "word_cnt")).alias("neg_d"),
         r6(proportion(F.col("conn_cnt") * 1000.0, "word_cnt")).alias("conn_d"),
-        r6(proportion(F.col("top1000_cnt") * 100.0, "word_cnt")).alias("freq1000_p"),
-        r6(proportion(F.col("top5000_cnt") * 100.0, "word_cnt")).alias("freq5000_p"),
-        r6(proportion(F.col("top20000_cnt") * 100.0, "word_cnt")).alias("freq20000_p"),
+        *[
+            r6(proportion(F.col(f"{band}_cnt") * 100.0, "word_cnt")).alias(
+                f"freq{band[3:]}_p"
+            )
+            for band, _ in lexicons.BANDS
+        ],
         F.when(
             F.col("content_cnt") != 0,
             round6_fp(F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt")),
@@ -248,7 +251,9 @@ def _sql_prelude() -> str:
 wordf AS (
     SELECT annot.*,
            w.wf_freq_log,
-           w.is_top1000, w.is_top5000, w.is_top20000,
+           """
+        + ", ".join(f"w.is_{band}" for band, _ in lexicons.BANDS)
+        + """,
            CASE WHEN annot.is_content = 1 AND annot.is_stop = 0
                 THEN w.wf_freq_log END AS content_freq_log
     FROM annot LEFT JOIN wfreq_b w USING (word)
@@ -307,6 +312,11 @@ def sql_doc_features() -> str:
         + [f"conn_{c.lower()}_cnt" for c in CONN_CLASSES]
         + [f"sit_{s.lower()}_cnt" for s in SIT_CLASSES]
     )
+    freq_props = ",\n       ".join(
+        f"ROUND({sql_proportion(f'{band}_cnt * 100.0', 'word_cnt')}, 6)"
+        f" AS freq{band[3:]}_p"
+        for band, _ in lexicons.BANDS
+    )
     return (
         sql_sentence_features()
         + f""",
@@ -349,9 +359,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ROUND({sql_proportion("content_cnt * 1000.0", "word_cnt")}, 6) AS content_d,
        ROUND({sql_proportion("neg_cnt * 1000.0", "word_cnt")}, 6) AS neg_d,
        ROUND({sql_proportion("conn_cnt * 1000.0", "word_cnt")}, 6) AS conn_d,
-       ROUND({sql_proportion("top1000_cnt * 100.0", "word_cnt")}, 6) AS freq1000_p,
-       ROUND({sql_proportion("top5000_cnt * 100.0", "word_cnt")}, 6) AS freq5000_p,
-       ROUND({sql_proportion("top20000_cnt * 100.0", "word_cnt")}, 6) AS freq20000_p,
+       {freq_props},
        CASE WHEN content_cnt <> 0
             THEN SIGN(wfl_fp / 1000000.0 / content_cnt) * FLOOR(ABS((wfl_fp / 1000000.0 / content_cnt) * 1000000) + 0.5) / 1000000.0 END AS word_freq_log,
        CASE WHEN sent_wfl_cnt <> 0

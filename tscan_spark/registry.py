@@ -631,7 +631,10 @@ _METRIC_COLS: list[str] = (
     + [f"sit_{s.lower()}_cnt" for s in pipeline.SIT_CLASSES]
     + [
         "wrd_per_zin", "let_per_wrd", "ttr_words", "ttr_lemmas", "content_d",
-        "neg_d", "conn_d", "freq1000_p", "freq5000_p", "freq20000_p",
+        "neg_d", "conn_d",
+    ]
+    + [f"freq{band[3:]}_p" for band, _ in _lexicons.BANDS]
+    + [
         "word_freq_log", "wfl_sent_avg", "rarity",
     ]
 )
