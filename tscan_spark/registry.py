@@ -820,6 +820,18 @@ def q_staph_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from tscan_spark import pipeline_sem  # noqa: E402
+
+
+@query("tscan_sem_fine", oracle=pipeline_sem.sql_doc_sem_fine())
+def q_sem_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained semantic/POS-subtype battery: the reference's
+    concreet / verb-ATP / intensifier-subtype / formal-subtype /
+    word-sort CSV blocks (concreetToCSV structstats.cxx:672-790,
+    verbToCSV 831-866, intensToCSV 938-948, formalToCSV 963-975,
+    wordSortToCSV 883-931) over the documented synthetic analog
+    taxonomies — ~100 doc-grain cells, one hash aggregate."""
+    return pipeline_sem.doc_sem_fine(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -867,6 +879,8 @@ _PROFILE_PARTS: list[tuple[str, list[str]]] = [
     ("ner_features", ["word_cnt"]),
     ("np_chunk_features", []),
     ("prevalence_features", ["word_cnt"]),
+    # fine-taxonomy battery (concreet/ATP/intens/formal/wordSort blocks)
+    ("tscan_sem_fine", []),
 ]
 
 # sentDifficulties / verb / misc ratio block over the joined parts
@@ -942,6 +956,15 @@ _PROFILE_RATIOS: list[tuple[str, str, str, str]] = [
     ("pers_vnw1_d", "pron1_cnt", "word_cnt", "dens"),
     ("pers_vnw2_d", "pron2_cnt", "word_cnt", "dens"),
     ("pers_vnw3_d", "pron3_cnt", "word_cnt", "dens"),
+    # F4 per-clause participle rates + infinitival complements per
+    # sentence (verbToCSV structstats.cxx:843-866, sentDifficulties 408)
+    ("vd_bv_dz", "vd_bv_cnt", "corrected_clause_cnt", "prop"),
+    ("vd_nw_dz", "vd_nw_cnt", "corrected_clause_cnt", "prop"),
+    ("vd_vrij_dz", "vd_vrij_cnt", "corrected_clause_cnt", "prop"),
+    ("ovd_bv_dz", "ovd_bv_cnt", "corrected_clause_cnt", "prop"),
+    ("ovd_nw_dz", "ovd_nw_cnt", "corrected_clause_cnt", "prop"),
+    ("ovd_vrij_dz", "ovd_vrij_cnt", "corrected_clause_cnt", "prop"),
+    ("infin_compl_bep_per_zin", "infin_compl_cnt", "sent_cnt", "prop"),
 ]
 
 
@@ -1090,6 +1113,9 @@ def _doc_profile_impl(
         "tscan_general_doc_features": lambda: vocab_dim.general_doc_features(
             spark, sf_dir, tok=grain
         ),
+        "tscan_sem_fine": lambda: pipeline_sem.doc_sem_fine(
+            spark, sf_dir, wordf=grain
+        ),
     }
     out = None
     for name, drops in _PROFILE_PARTS:
@@ -1139,7 +1165,8 @@ def _profile_cols() -> list[list[str]]:
             "parse_fail_cnt", "node_cnt", "betr_cnt", "bijw_cnt", "compl_cnt",
             "smain_cnt", "ssub_cnt", "sv1_cnt", "cnj_smain_cnt", "cnj_ssub_cnt",
             "cnj_sv1_cnt", "small_cnj_cnt", "adverbial_cnt", "los_betr_cnt",
-            "np_mod_cnt", "d_level_gt4_cnt", "d_level_avg", "clause_d",
+            "np_mod_cnt", "infin_compl_cnt", "d_level_gt4_cnt", "d_level_avg",
+            "clause_d",
         ],
         "parse_verb_doc": [
             "doc_id", "passive_cnt", "copula_cnt", "time_cnt", "modal_cnt",
@@ -1179,6 +1206,7 @@ def _profile_cols() -> list[list[str]]:
         "prevalence_features": [
             "doc_id", "word_cnt", "covered_cnt", "prevalence_p", "prevalence_z",
         ],
+        "tscan_sem_fine": pipeline_sem.sem_fine_columns(),
     }
     cols = [["doc_id"]]  # base contributes via b0.*
     for name, drops in _PROFILE_PARTS[1:]:
