@@ -111,8 +111,28 @@ FORM_TAGS = [("bvnw", "ADJ"), ("bw", "BW"), ("vgw", "VG"), ("vnw", "VNW"),
              ("vz", "VZ"), ("ww", "WW"), ("znw", "N")]
 
 
-def _salt_hash(salt: str) -> Column:
-    return corpus.content_hash_expr(F.concat(F.col("lemma"), F.lit(salt)))
+def _salt_const(salt: str) -> tuple[int, int]:
+    """(B^|salt| mod M, hash(salt)) so that
+    hash(lemma || salt) == (hash(lemma) * c1 + c2) mod M — the salted
+    polynomial hash derives ALGEBRAICALLY from one base fold."""
+    c1 = pow(corpus.HASH_BASE, len(salt), corpus.HASH_MOD)
+    c2 = 0
+    for ch in salt:
+        c2 = (c2 * corpus.HASH_BASE + ord(ch)) % corpus.HASH_MOD
+    return c1, c2
+
+
+def _salt_hash(salt: str, base: Column | None = None) -> Column:
+    """hash(lemma || salt), identical to corpus.content_hash_expr over
+    the concatenation. When ``base`` (= hash(lemma), computed ONCE per
+    row) is given, the salted value is pure codegen arithmetic —
+    without it each call would be an interpreted higher-order fold over
+    the string, and this battery takes seven salted hashes per row
+    (measured 7.9s -> arithmetic path 2x faster at sf0.1)."""
+    if base is None:
+        return corpus.content_hash_expr(F.concat(F.col("lemma"), F.lit(salt)))
+    c1, c2 = _salt_const(salt)
+    return (base * F.lit(c1) + F.lit(c2)) % F.lit(corpus.HASH_MOD)
 
 
 def _sql_salt_hash(salt: str) -> str:
@@ -142,11 +162,17 @@ def doc_sem_fine(
 ) -> DataFrame:
     """Doc-grain fine-taxonomy vector (~100 columns)."""
     tok = wordf if wordf is not None else _grain(spark, sf_dir)
+    # ONE interpreted hash fold per row; every salted hash below is
+    # codegen arithmetic on it (see _salt_hash)
+    tok = tok.select(
+        "*", corpus.content_hash_expr(F.col("lemma")).alias("_lh")
+    )
+    lh = F.col("_lh")
     tag, sem = F.col("tag"), F.col("noun_sem")
 
     noun_cov = (tag == "N") & sem.isNotNull()
     adj_cov = (tag == "ADJ") & sem.isNotNull()
-    h_nw, h_adj = _salt_hash("#nw"), _salt_hash("#adj")
+    h_nw, h_adj = _salt_hash("#nw", lh), _salt_hash("#adj", lh)
     noun_fine = F.when(
         noun_cov & (sem == "CONCRETE"), _pick(h_nw, NOUN_FINE["CONCRETE"])
     ).when(noun_cov & (sem == "ABSTRACT"), _pick(h_nw, NOUN_FINE["ABSTRACT"]))
@@ -156,9 +182,9 @@ def doc_sem_fine(
         .when(adj_cov & (sem == "ABSTRACT"), _pick(h_adj, ADJ_FINE["ABSTRACT"]))
     )
     is_ww = tag == "WW"
-    ww_cov = is_ww & (_salt_hash("#wwcov") % WW_COV_MOD != 0)
-    ww_conc = F.when(ww_cov, _pick(_salt_hash("#wwc"), WW_CONC))
-    ww_atp = F.when(ww_cov, _pick(_salt_hash("#atp"), WW_ATP))
+    ww_cov = is_ww & (_salt_hash("#wwcov", lh) % WW_COV_MOD != 0)
+    ww_conc = F.when(ww_cov, _pick(_salt_hash("#wwc", lh), WW_CONC))
+    ww_atp = F.when(ww_cov, _pick(_salt_hash("#atp", lh), WW_ATP))
     int_sub = F.when(
         F.col("is_intens") == 1,
         F.when((tag == "ADJ") & (F.col("adj_pos") == "prenom"), "bvnw")
@@ -179,10 +205,10 @@ def doc_sem_fine(
         .when(tag == "N", "znw"),
     )
     part_form = F.when(
-        F.col("verb_form") == "inf", _pick(_salt_hash("#part"), PART_FORMS)
+        F.col("verb_form") == "inf", _pick(_salt_hash("#part", lh), PART_FORMS)
     )
     part_pos = F.when(
-        part_form.isin("vd", "od"), _pick(_salt_hash("#ppos"), PART_POS)
+        part_form.isin("vd", "od"), _pick(_salt_hash("#ppos", lh), PART_POS)
     )
     t = tok.select(
         "doc_id",
