@@ -158,9 +158,15 @@ def _grain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_sem_fine(
-    spark: SparkSession, sf_dir: str, wordf: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    wordf: DataFrame | None = None,
+    keys: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
-    """Doc-grain fine-taxonomy vector (~100 columns)."""
+    """Fine-taxonomy vector (~112 columns) at the grain given by
+    ``keys`` — ("doc_id",) for the document CSV, ("doc_id", "par_idx")
+    for the paragraph CSV (the reference emits the same blocks per
+    paragraph, structstats.cxx:975-1002 chain)."""
     tok = wordf if wordf is not None else _grain(spark, sf_dir)
     # ONE interpreted hash fold per row; every salted hash below is
     # codegen arithmetic on it (see _salt_hash)
@@ -211,7 +217,7 @@ def doc_sem_fine(
         part_form.isin("vd", "od"), _pick(_salt_hash("#ppos", lh), PART_POS)
     )
     t = tok.select(
-        "doc_id",
+        *keys,
         "sent_idx",
         tag.alias("tag"),
         part_form.alias("part_form"),
@@ -279,11 +285,13 @@ def doc_sem_fine(
                     f"{col}_{pos}_cnt",
                 )
             )
-    doc = t.groupBy("doc_id").agg(*aggs)
+    doc = t.groupBy(*keys).agg(*aggs)
 
     r6 = lambda c: F.round(c, 6)  # noqa: E731
     wc = F.col("word_cnt")
-    out = [F.col("doc_id").cast("long").alias("doc_id")]
+    out = [
+        F.col(k).cast("long" if k == "doc_id" else "int").alias(k) for k in keys
+    ]
     for k in NOUN_FINE_ALL:
         out.append(
             r6(proportion(F.col(f"{k}_nw_cnt"), "covered_noun_cnt")).alias(f"{k}_nw_p")
@@ -297,14 +305,14 @@ def doc_sem_fine(
         if k != "undefined_bvnw":  # reference emits Undefined_bvnw_p only
             out.append(r6(density(F.col(f"{k}_adj_cnt"), wc)).alias(f"{nm}_d"))
 
-    def agg_sum(keys: list[str], suffix: str) -> Column:
+    def agg_sum(members: list[str], suffix: str) -> Column:
         s = None
-        for k in keys:
+        for k in members:
             c = F.col(f"{k}_{suffix}")
             s = c if s is None else s + c
         return s
 
-    for nm, keys in [
+    for nm, members in [
         ("waarn_nmens_bvnw", ADJ_NONHUMAN),
         ("spec_ev_bvnw", ADJ_SPEC_EV),
         ("alg_ev_bvnw", ADJ_ALG_EV),
@@ -312,11 +320,11 @@ def doc_sem_fine(
         ("subj_bvnw", ADJ_SUBJ),
     ]:
         out.append(
-            r6(proportion(agg_sum(keys, "adj_cnt"), "covered_adj_cnt")).alias(
+            r6(proportion(agg_sum(members, "adj_cnt"), "covered_adj_cnt")).alias(
                 f"{nm}_p"
             )
         )
-        out.append(r6(density(agg_sum(keys, "adj_cnt"), wc)).alias(f"{nm}_d"))
+        out.append(r6(density(agg_sum(members, "adj_cnt"), wc)).alias(f"{nm}_d"))
     out += [
         r6(
             proportion(
@@ -377,8 +385,8 @@ def doc_sem_fine(
 # --- DuckDB oracle (rendered from the same inventories) -------------------
 
 
-def sem_fine_columns() -> list[str]:
-    cols = ["doc_id"]
+def sem_fine_columns(keys: tuple[str, ...] = ("doc_id",)) -> list[str]:
+    cols = list(keys)
     for k in NOUN_FINE_ALL:
         cols += [f"{k}_nw_p", f"{k}_nw_d"]
     for k in ADJ_FINE_ALL:
@@ -405,7 +413,7 @@ def sem_fine_columns() -> list[str]:
     return cols
 
 
-def sql_doc_sem_fine() -> str:
+def sql_doc_sem_fine(keys: tuple[str, ...] = ("doc_id",)) -> str:
     h_nw, h_adj = _sql_salt_hash("#nw"), _sql_salt_hash("#adj")
     noun_fine = (
         "CASE WHEN tag = 'N' AND noun_sem = 'CONCRETE' "
@@ -487,7 +495,10 @@ def sql_doc_sem_fine() -> str:
                 f"THEN 1 ELSE 0 END) AS {col}_{pos}_cnt"
             )
 
-    outs = ["CAST(doc_id AS BIGINT) AS doc_id"]
+    outs = [
+        f"CAST({k} AS {'BIGINT' if k == 'doc_id' else 'INT'}) AS {k}"
+        for k in keys
+    ]
 
     def p(num: str, den: str, name: str) -> str:
         return f"ROUND({sql_proportion(num, den)}, 6) AS {name}"
@@ -503,14 +514,14 @@ def sql_doc_sem_fine() -> str:
         outs.append(p(f"{k}_adj_cnt", "covered_adj_cnt", f"{nm}_p"))
         if k != "undefined_bvnw":
             outs.append(d(f"{k}_adj_cnt", f"{nm}_d"))
-    for nm, keys in [
+    for nm, members in [
         ("waarn_nmens_bvnw", ADJ_NONHUMAN),
         ("spec_ev_bvnw", ADJ_SPEC_EV),
         ("alg_ev_bvnw", ADJ_ALG_EV),
         ("ep_ev_bvnw", ADJ_EP_EV),
         ("subj_bvnw", ADJ_SUBJ),
     ]:
-        s = " + ".join(f"{k}_adj_cnt" for k in keys)
+        s = " + ".join(f"{k}_adj_cnt" for k in members)
         outs.append(p(f"({s})", "covered_adj_cnt", f"{nm}_p"))
         outs.append(d(f"({s})", f"{nm}_d"))
     outs += [
@@ -558,8 +569,8 @@ def sql_doc_sem_fine() -> str:
         + annotate.sql_annot_ext_cte().strip()
         + f""",
 fine AS (
-    SELECT doc_id, sent_idx, tag, lemma, is_intens, is_formal, adj_pos,
-           adverb_type, verb_form,
+    SELECT {", ".join(keys)}, sent_idx, tag, lemma, is_intens, is_formal,
+           adj_pos, adverb_type, verb_form,
            {noun_fine} AS noun_fine,
            {adj_fine} AS adj_fine,
            CASE WHEN tag = 'N' AND noun_sem IS NOT NULL THEN 1 ELSE 0 END
@@ -576,10 +587,10 @@ fine AS (
     FROM annot_ext
 ),
 docagg AS (
-    SELECT doc_id,
+    SELECT {", ".join(keys)},
            {",{}           ".format(chr(10)).join(sums)}
     FROM fine
-    GROUP BY doc_id
+    GROUP BY {", ".join(keys)}
 )
 SELECT {",{}       ".format(chr(10)).join(outs)}
 FROM docagg"""

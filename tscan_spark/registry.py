@@ -830,8 +830,22 @@ def q_sem_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-sort CSV blocks (concreetToCSV structstats.cxx:672-790,
     verbToCSV 831-866, intensToCSV 938-948, formalToCSV 963-975,
     wordSortToCSV 883-931) over the documented synthetic analog
-    taxonomies — ~100 doc-grain cells, one hash aggregate."""
+    taxonomies — ~112 doc-grain cells, one hash aggregate."""
     return pipeline_sem.doc_sem_fine(spark, sf_dir)
+
+
+_PAR_KEYS = ("doc_id", "par_idx")
+
+
+@query(
+    "tscan_sem_fine_par", oracle=pipeline_sem.sql_doc_sem_fine(keys=_PAR_KEYS)
+)
+def q_sem_fine_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fine-taxonomy battery at PARAGRAPH grain (the
+    reference's per-paragraph CSV carries the same blocks,
+    structstats.cxx:975-1002 chain) — identical single-pass aggregate
+    keyed (doc_id, par_idx)."""
+    return pipeline_sem.doc_sem_fine(spark, sf_dir, keys=_PAR_KEYS)
 
 
 # ---------------------------------------------------------------------------
