@@ -87,7 +87,84 @@ NEW_ORACLED = [
     "quality_score",
     "token_stats",
     "doc_fingerprint",
+    "sample_stratified",
+    "decontaminate_ngram",
+    "quality_repetition",
+    "pack_sequences",
+    "domain_mix_rates",
 ]
+
+
+def test_decontaminate_semantics(spark):
+    """Holdout docs never appear in the output; contaminated <=> at
+    least one distinct 8-gram shared with the holdout; self-duplicates
+    of holdout docs (the corpus has injected exact dups) are caught."""
+    from tscan_spark.operators import curation
+
+    rows = {r.doc_id: r for r in curation.decontaminate_ngram(spark, SF_DIR).collect()}
+    assert rows and all(d % curation.HOLDOUT_MOD != 0 for d in rows)
+    for r in rows.values():
+        assert r.contaminated == (r.n_hit >= curation.DECON_MIN_HITS)
+        assert 0 <= r.n_hit <= r.n_grams
+
+
+def test_pack_sequences_semantics(spark):
+    """Streaming-pack invariants: within a (source, shard) stream, bins
+    are contiguous in doc order, every non-final bin ends at or past
+    its budget boundary (that's what FLOOR(prefix/budget) binning
+    means), and spill_tok is the carry past the boundary."""
+    from tscan_spark.operators import curation
+
+    rows = curation.pack_sequences(spark, SF_DIR).collect()
+    assert rows
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault((r.source, r.shard), []).append(r)
+    for stream in by_stream.values():
+        stream.sort(key=lambda r: r.bin_id)
+        last = stream[-1].bin_id
+        for r in stream:
+            # half-up 6dp in both engines (Python round() banker's-rounds)
+            assert abs(r.fill - r.n_tok_bin / curation.PACK_BUDGET) < 1e-6
+            if r.bin_id != last:
+                # a non-final bin only closes once a doc crosses the
+                # boundary: its end = (bin_id+1)*budget + spill
+                assert r.spill_tok >= 0
+        # doc ranges of consecutive bins never interleave
+        for a, b in zip(stream, stream[1:]):
+            assert a.last_doc < b.first_doc
+
+
+def test_domain_mix_semantics(spark):
+    """Rates are feasible (<=1), at least one source binds at 1.0, and
+    expected docs realize the target mixture up to flooring error."""
+    from tscan_spark.operators import curation
+
+    rows = curation.domain_mix_rates(spark, SF_DIR).collect()
+    assert rows and all(0 < r.keep_rate <= 1.0 for r in rows)
+    assert any(r.keep_rate == 1.0 for r in rows)
+    total = sum(r.expected_docs for r in rows)
+    for r in rows:
+        assert abs(r.expected_docs / total - r.target_w) < 0.01
+
+
+def test_sample_stratified_semantics(spark):
+    """The sample is a deterministic subset: 'hi' strata keep
+    everything (rate 1000), kept rows carry the right inverse weight,
+    and re-running yields the identical row set (no rand())."""
+    from tscan_spark.operators import textstats
+
+    rows = {r.doc_id: r for r in textstats.sample_stratified(spark, SF_DIR).collect()}
+    again = {r.doc_id: r for r in textstats.sample_stratified(spark, SF_DIR).collect()}
+    assert rows.keys() == again.keys() and len(rows) > 0
+    q = {r.doc_id: r.quality for r in textstats.quality_score(spark, SF_DIR).collect()}
+    n_hi_all = sum(1 for v in q.values() if v >= textstats.Q_HI)
+    n_hi_kept = sum(1 for r in rows.values() if r.q_band == "hi")
+    assert n_hi_kept == n_hi_all  # rate 1000 per-mille = keep all
+    for r in rows.values():
+        rate = textstats.SAMPLE_RATES[r.q_band]
+        assert r.samp_hash % 1000 < rate
+        assert r.weight == round(1000.0 / rate, 6)
 
 
 @pytest.mark.parametrize("name", NEW_ORACLED)
@@ -437,6 +514,36 @@ def test_parse_cache_write_back_idempotent(spark, tmp_path):
 def test_multiprobe_matches_oracle(spark, oracle):
     df = QUERIES["similarity_multiprobe_topk"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["similarity_multiprobe_topk"])
+
+
+def test_ivf_matches_oracle(spark, oracle):
+    df = QUERIES["similarity_ivf_topk"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["similarity_ivf_topk"])
+
+
+def test_ivf_structure(spark):
+    """IVF candidates come only from probed cells; overlapping pairs
+    score identically to brute force (same exact FP12 rerank); every
+    query returns rows (NPROBE cells always hold some vectors)."""
+    from tscan_spark.operators import similarity
+
+    exact = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in similarity.brute_force_topk(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in similarity.ivf_topk(spark, SF_DIR).collect()
+    }
+    assert len(ivf) > 0
+    assert len({q for q, _ in ivf}) == similarity.N_QUERIES
+    for k, v in ivf.items():
+        if k in exact:
+            assert v == exact[k]
+    # cardinality-derived codebook sizing: ~sqrt(n)
+    assert similarity.ivf_cells_for(10**9) == 31622
+    assert similarity.ivf_cells_for(500) == 22
+    assert similarity.ivf_cells_for(0) == 2
 
 
 def test_multiprobe_recall_vs_bruteforce(spark):

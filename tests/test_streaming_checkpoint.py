@@ -156,3 +156,38 @@ def test_stateful_running_totals(spark, tmp_path):
     assert got == exp
     # and state genuinely accumulated across >1 micro-batch
     assert len(rows) > len(exp)
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    """Re-delivered files are dropped by the watermarked dedup: each
+    content hash survives exactly once even when the same parquet file
+    arrives twice, and the survivor set equals the batch-side distinct
+    content-hash count."""
+    from tscan_spark import corpus
+    from pyspark.sql import functions as F
+    from tscan_spark.streaming import stream
+
+    srcdir = tmp_path / "docs_dedup_stream"
+    srcdir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", srcdir / "part-0.parquet")
+    shutil.copy(f"{SF_DIR}/documents.parquet", srcdir / "part-1.parquet")
+    sdf = stream.streaming_dedup_ingest(spark, str(srcdir))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sdedup").collect()
+    ids = [r.content_id for r in rows]
+    assert len(ids) == len(set(ids)) > 0
+    batch_distinct = (
+        corpus.load(spark, SF_DIR, "documents")
+        .select(corpus.content_hash_expr("text").alias("cid"))
+        .distinct()
+        .count()
+    )
+    assert len(ids) == batch_distinct

@@ -1,0 +1,448 @@
+"""Corpus-curation operators for training-data pipelines:
+decontamination, repetition filters, sequence packing, domain mixing.
+
+These are the steps between "raw filtered crawl" and "training batches"
+that the dedup/quality/sampling family does not cover:
+
+- decontaminate_ngram : flag documents that share word n-grams with a
+  holdout (benchmark) set, the standard test-set-decontamination step.
+- quality_repetition  : Gopher-style repetition statistics (top-2-gram
+  token fraction, duplicate 2-/3-gram fractions, duplicate-word
+  fraction) with a keep flag.
+- pack_sequences      : deterministic greedy packing of tokenized
+  documents into fixed token-budget bins per (source, shard) — the
+  batch-construction step before writing training shards.
+- domain_mix_rates    : solve per-source keep rates that realize a
+  target domain mixture at the maximum feasible corpus size.
+
+All pure DataFrame expressions (window leads + hash aggregates, no
+UDFs); every rule is replayable in ANSI SQL so the DuckDB oracles match
+bit-for-bit. Reference analog: the reference filters its input corpus
+by document-level gates before feature extraction (tscan.cxx sentence /
+word filters); these operators are the corpus-scale generalization the
+brief asks for beyond the reference's own surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tscan_spark import corpus
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+#
+# Holdout = every doc with doc_id % HOLDOUT_MOD == 0 (a deterministic
+# stand-in for the benchmark table; production passes a real benchmark
+# DataFrame). A corpus doc is contaminated when >= DECON_MIN_HITS of its
+# distinct N-grams appear anywhere in the holdout.
+#
+# Physical plan: both sides reduce to DISTINCT (doc_id, gram_id) via one
+# window-lead pass over the token grain; the holdout side collapses to
+# DISTINCT gram_id and joins the corpus grams on gram_id; one doc-keyed
+# hash aggregate counts hits. In production the benchmark is orders of
+# magnitude smaller than the corpus, so the gram-id join is a broadcast
+# and the corpus is touched exactly once; here the holdout is corpus-
+# derived, so we leave the join strategy to AQE (it stays a shuffle
+# hash join keyed on gram_id — no quadratic term at any scale). Gram
+# ids use the 31-bit replayable content hash (oracle constraint); at
+# 100 TB swap in xxhash64 — same plan, wider key.
+
+DECON_N = 8  # n-gram order (test-set decontamination convention: 8-13)
+HOLDOUT_MOD = 10  # doc_id % 10 == 0 -> holdout "benchmark" doc
+DECON_MIN_HITS = 1
+
+
+def _grams(tok: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, gram_id) word n-grams via window leads."""
+    w = Window.partitionBy("doc_id").orderBy("word_idx")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    g = tok.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("gram"),
+        parts[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    return g.select(
+        "doc_id", corpus.content_hash_expr("gram").alias("gram_id")
+    ).distinct()
+
+
+def _sql_grams_cte(n: int, name: str = "grams") -> str:
+    leads = ",\n               ".join(
+        f"lead(word, {i}) OVER (PARTITION BY doc_id ORDER BY word_idx) AS w{i}"
+        for i in range(1, n)
+    )
+    concat = " || ' ' || ".join(["word"] + [f"w{i}" for i in range(1, n)])
+    return f"""
+{name} AS (
+    SELECT DISTINCT doc_id, {corpus.sql_content_hash(f"({concat})")} AS gram_id
+    FROM (
+        SELECT doc_id, word,
+               {leads}
+        FROM tok
+    )
+    WHERE w{n - 1} IS NOT NULL
+)"""
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per non-holdout doc, how many of its
+    distinct DECON_N-grams appear in the holdout set, and the keep
+    verdict. Output: doc_id, n_grams, n_hit, hit_frac, contaminated."""
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    grams = _grams(tok, DECON_N)
+    holdout = (
+        grams.where(F.col("doc_id") % HOLDOUT_MOD == 0)
+        .select("gram_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    body = grams.where(F.col("doc_id") % HOLDOUT_MOD != 0)
+    joined = body.join(holdout, "gram_id", "left")
+    out = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("hit_frac"),
+        (F.col("n_hit") >= DECON_MIN_HITS).alias("contaminated"),
+    )
+
+
+def sql_decontaminate_ngram() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ","
+        + _sql_grams_cte(DECON_N)
+        + f""",
+holdout AS (
+    SELECT DISTINCT gram_id FROM grams WHERE doc_id % {HOLDOUT_MOD} = 0
+),
+hits AS (
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN h.gram_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+    FROM grams g LEFT JOIN holdout h USING (gram_id)
+    WHERE g.doc_id % {HOLDOUT_MOD} <> 0
+    GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(n_hit * 1.0 / n_grams, 6) AS hit_frac,
+       n_hit >= {DECON_MIN_HITS} AS contaminated
+FROM hits"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition filters (Gopher rules 2.1, token-grain variants)
+# ---------------------------------------------------------------------------
+#
+# Gopher filters on "fraction of characters in the most common 2-gram"
+# and "fraction of characters in duplicate n-grams"; the synthetic
+# corpus has no newline structure, so the engine computes the
+# token-count analogs, which are the same gates modulo the unit:
+#
+#   top2_frac  = 2 * max count over 2-grams / n_tok
+#   dup2_frac  = 1 - distinct 2-grams / total 2-grams
+#   dup3_frac  = 1 - distinct 3-grams / total 3-grams
+#   dupw_frac  = 1 - distinct words   / n_tok
+#
+# keep iff top2_frac <= TOP2_MAX and dup3_frac <= DUP3_MAX.
+#
+# Plan: the positional gram build is a doc-bounded window lead (no
+# cross-doc shuffle); each fraction is one doc-keyed hash aggregate.
+# The 2-gram max-count needs a (doc, gram) pre-aggregate — two-level
+# hash agg, map-side partials on both levels, no window over the
+# corpus. Production materializes the token grain once (staging
+# contract, PLANS.md) so the three gram passes scan columnar staging,
+# not the raw text.
+
+TOP2_MAX = 0.20
+DUP3_MAX = 0.90
+
+
+def _pos_grams(tok: DataFrame, n: int) -> DataFrame:
+    """Positional (non-distinct) n-grams: one row per occurrence."""
+    w = Window.partitionBy("doc_id").orderBy("word_idx")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "gram")
+    )
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition statistics + keep flag per document."""
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    base = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("word").alias("n_uniq"),
+    )
+    g2 = (
+        _pos_grams(tok, 2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("max2"),
+            F.count(F.lit(1)).alias("uniq2"),
+            F.sum("c").alias("tot2"),
+        )
+    )
+    g3 = (
+        _pos_grams(tok, 3)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("uniq3"), F.sum("c").alias("tot3"))
+    )
+    j = base.join(g2, "doc_id").join(g3, "doc_id")
+    top2 = 2.0 * F.col("max2") / F.col("n_tok")
+    dup2 = 1.0 - F.col("uniq2") / F.col("tot2")
+    dup3 = 1.0 - F.col("uniq3") / F.col("tot3")
+    dupw = 1.0 - F.col("n_uniq") / F.col("n_tok")
+    return j.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(top2, 6).alias("top2_frac"),
+        F.round(dup2, 6).alias("dup2_frac"),
+        F.round(dup3, 6).alias("dup3_frac"),
+        F.round(dupw, 6).alias("dupw_frac"),
+        ((F.round(top2, 6) <= TOP2_MAX) & (F.round(dup3, 6) <= DUP3_MAX)).alias(
+            "keep"
+        ),
+    )
+
+
+def sql_quality_repetition() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+base AS (
+    SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT word) AS n_uniq
+    FROM tok GROUP BY doc_id
+),
+p2 AS (
+    SELECT doc_id, word || ' ' || w1 AS gram
+    FROM (SELECT doc_id, word,
+                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY word_idx) AS w1
+          FROM tok)
+    WHERE w1 IS NOT NULL
+),
+g2 AS (
+    SELECT doc_id, MAX(c) AS max2, COUNT(*) AS uniq2, SUM(c) AS tot2
+    FROM (SELECT doc_id, gram, COUNT(*) AS c FROM p2 GROUP BY doc_id, gram)
+    GROUP BY doc_id
+),
+p3 AS (
+    SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS gram
+    FROM (SELECT doc_id, word,
+                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY word_idx) AS w1,
+                 lead(word, 2) OVER (PARTITION BY doc_id ORDER BY word_idx) AS w2
+          FROM tok)
+    WHERE w2 IS NOT NULL
+),
+g3 AS (
+    SELECT doc_id, COUNT(*) AS uniq3, SUM(c) AS tot3
+    FROM (SELECT doc_id, gram, COUNT(*) AS c FROM p3 GROUP BY doc_id, gram)
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS n_tok,
+       ROUND(2.0 * g2.max2 / b.n_tok, 6) AS top2_frac,
+       ROUND(1.0 - g2.uniq2 * 1.0 / g2.tot2, 6) AS dup2_frac,
+       ROUND(1.0 - g3.uniq3 * 1.0 / g3.tot3, 6) AS dup3_frac,
+       ROUND(1.0 - b.n_uniq * 1.0 / b.n_tok, 6) AS dupw_frac,
+       (ROUND(2.0 * g2.max2 / b.n_tok, 6) <= {TOP2_MAX}
+        AND ROUND(1.0 - g3.uniq3 * 1.0 / g3.tot3, 6) <= {DUP3_MAX}) AS keep
+FROM base b JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+#
+# Batch construction: concatenate tokenized documents into fixed
+# token-budget bins (training "sequences" of PACK_BUDGET tokens). A
+# true first-fit pack is inherently sequential, so the distributed
+# contract is the standard streaming one: documents are sharded
+# deterministically (doc_id % PACK_SHARDS), ordered by doc_id within a
+# (source, shard), and a document starts the bin its exclusive prefix
+# token sum falls in: bin = floor(prefix_sum / PACK_BUDGET). Every bin
+# holds >= PACK_BUDGET - max_doc_tok and <= PACK_BUDGET + max_doc_tok
+# tokens (the straddling doc is split/padded by the trainer — the
+# `spill_tok` column is exactly that carry).
+#
+# Scale shape: the only window is a running sum partitioned by
+# (source, shard) — PACK_SHARDS bounds the sequential span per source,
+# so a 1000-executor run keeps every window task ~corpus/(sources *
+# shards) and no global sort exists. One token-count aggregate + one
+# window + one (source, shard, bin) hash aggregate.
+
+PACK_BUDGET = 2048  # tokens per training sequence bin
+PACK_SHARDS = 8
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy streaming sequence packing. Output per bin: source,
+    shard, bin_id, n_docs, n_tok_bin, fill, spill_tok."""
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    docs = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    d = docs.withColumn("shard", (F.col("doc_id") % PACK_SHARDS).cast("int"))
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("prefix", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    d = d.withColumn(
+        "bin_id", F.floor(F.col("prefix") / PACK_BUDGET).cast("long")
+    )
+    bins = d.groupBy("source", "shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tok_bin"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        (F.min("prefix") + F.sum("n_tok")).alias("_end"),
+    )
+    return bins.select(
+        "source",
+        "shard",
+        "bin_id",
+        "n_docs",
+        "n_tok_bin",
+        "first_doc",
+        "last_doc",
+        F.round(F.col("n_tok_bin") / float(PACK_BUDGET), 6).alias("fill"),
+        F.greatest(
+            F.lit(0), (F.col("_end") - (F.col("bin_id") + 1) * PACK_BUDGET)
+        )
+        .cast("long")
+        .alias("spill_tok"),
+    )
+
+
+def sql_pack_sequences() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+docs AS (
+    SELECT doc_id, source, COUNT(*) AS n_tok
+    FROM tok GROUP BY doc_id, source
+),
+pre AS (
+    SELECT *,
+           CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+           COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source, doc_id % {PACK_SHARDS}
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+    FROM docs
+),
+b AS (
+    SELECT *, CAST(FLOOR(prefix / {PACK_BUDGET}) AS BIGINT) AS bin_id FROM pre
+),
+bins AS (
+    SELECT source, shard, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tok_bin,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           MIN(prefix) + SUM(n_tok) AS _end
+    FROM b GROUP BY source, shard, bin_id
+)
+SELECT source, shard, bin_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tok_bin AS BIGINT) AS n_tok_bin,
+       first_doc, last_doc,
+       ROUND(n_tok_bin / {float(PACK_BUDGET)}, 6) AS fill,
+       CAST(GREATEST(0, _end - (bin_id + 1) * {PACK_BUDGET}) AS BIGINT) AS spill_tok
+FROM bins"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixing
+# ---------------------------------------------------------------------------
+#
+# Given target mixture weights per source, solve the per-source keep
+# rates that realize the mixture at the maximum corpus size with all
+# rates <= 1: T = min_s(n_s / w_s), rate_s = w_s * T / n_s. The weights
+# here derive deterministically from the source name (1 + suffix % 4,
+# normalized) so both engines compute them; production passes a real
+# weights table (it is tiny — always broadcast).
+#
+# Plan: one (source) hash aggregate over the documents scan, then all
+# math on the ~|sources| rows via unpartitioned windows — the window IS
+# over the dimension table (20 rows), never the corpus, so the single-
+# task sort is constant-cost at any corpus scale.
+
+
+def domain_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep rates realizing the target domain mixture."""
+    d = corpus.load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_raw = 1 + F.regexp_extract("source", r"(\d+)$", 1).cast("long") % 4
+    per_src = per_src.withColumn("w_raw", w_raw)
+    wall = Window.partitionBy()  # |sources| rows only — never the corpus
+    per_src = per_src.withColumn(
+        "target_w", F.col("w_raw") / F.sum("w_raw").over(wall)
+    )
+    per_src = per_src.withColumn(
+        "t_max", F.min(F.col("n_docs") / F.col("target_w")).over(wall)
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("target_w") * F.col("t_max") / F.col("n_docs")
+    )
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("target_w", 6).alias("target_w"),
+        F.round(rate, 6).alias("keep_rate"),
+        F.floor(F.col("n_docs") * F.round(rate, 6)).cast("long").alias(
+            "expected_docs"
+        ),
+    )
+
+
+def sql_domain_mix_rates() -> str:
+    return """
+WITH per_src AS (
+    SELECT source, COUNT(*) AS n_docs,
+           1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 AS w_raw
+    FROM documents
+    GROUP BY source
+),
+norm AS (
+    SELECT *,
+           w_raw * 1.0 / SUM(w_raw) OVER () AS target_w
+    FROM per_src
+),
+t AS (
+    SELECT *, MIN(n_docs / target_w) OVER () AS t_max FROM norm
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(target_w, 6) AS target_w,
+       ROUND(LEAST(1.0, target_w * t_max / n_docs), 6) AS keep_rate,
+       CAST(FLOOR(n_docs * ROUND(LEAST(1.0, target_w * t_max / n_docs), 6))
+            AS BIGINT) AS expected_docs
+FROM t"""

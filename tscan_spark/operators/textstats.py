@@ -212,3 +212,153 @@ SELECT doc_id,
 FROM tokid
 GROUP BY doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (training-data curation)
+# ---------------------------------------------------------------------------
+#
+# Curation pipelines rarely train on the raw crawl: they keep all the
+# high-quality documents and down-sample the low-quality tail at fixed
+# per-stratum rates, carrying an inverse-probability weight so any
+# statistic over the sample stays unbiased. The keep decision must be a
+# pure function of the document (NOT rand()) so re-runs, retries and
+# both engines agree row-for-row: keep iff
+# content_hash(doc_id || SAMPLE_SALT) % 1000 < rate_per_mille(stratum).
+#
+# Strata here = quality band (thresholds on the rounded quality score,
+# so both engines band identical values). One token pass computes the
+# language scores and the quality components in a single hash
+# aggregate; the filter is doc-grain. At 100 TB this is one scan + one
+# doc-keyed combine — no shuffle beyond the aggregate, no rand(), no
+# driver-side state.
+
+SAMPLE_RATES = {"hi": 1000, "mid": 500, "lo": 125}  # per-mille keep rates
+Q_HI = 0.60  # quality >= Q_HI        -> 'hi'
+Q_MID = 0.45  # Q_MID <= quality < Q_HI -> 'mid', else 'lo'
+SAMPLE_SALT = ":samp"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sample of the corpus.
+
+    Output (kept docs only): doc_id, pred_lang, q_band, quality,
+    samp_hash, weight — weight = 1000/rate is the inverse-probability
+    reweighting factor downstream estimators multiply in.
+    """
+    tok = _tok(spark, sf_dir)
+    lang_aggs = [
+        F.sum(F.col("word").isin(LANG_MARKERS[lang]).cast("int")).alias(f"score_{lang}")
+        for lang in LANG_PRIORITY
+    ]
+    doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("word")).alias("n_chars"),
+        F.sum(F.col("word").isin(STOP_LEMMATA).cast("int")).alias("n_stop"),
+        F.countDistinct("word").alias("n_uniq"),
+        *lang_aggs,
+    )
+    avg_wlen = F.col("n_chars") / F.col("n_tok")
+    len_ok = ((F.col("n_tok") >= 20) & (F.col("n_tok") <= 200)).cast("int")
+    wlen_ok = ((avg_wlen >= 3.0) & (avg_wlen <= 10.0)).cast("int")
+    quality = F.round(
+        0.25 * len_ok
+        + 0.25 * wlen_ok
+        + 0.25 * (1.0 - F.col("n_stop") / F.col("n_tok"))
+        + 0.25 * (F.col("n_uniq") / F.col("n_tok")),
+        6,
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PRIORITY])
+    label = F.lit(None).cast("string")
+    for lang in reversed(LANG_PRIORITY):
+        label = F.when(F.col(f"score_{lang}") == best, lang).otherwise(label)
+    d = doc.select("doc_id", quality.alias("quality"), label.alias("pred_lang"))
+    q_band = (
+        F.when(F.col("quality") >= Q_HI, "hi")
+        .when(F.col("quality") >= Q_MID, "mid")
+        .otherwise("lo")
+    )
+    rate = (
+        F.when(F.col("q_band") == "hi", SAMPLE_RATES["hi"])
+        .when(F.col("q_band") == "mid", SAMPLE_RATES["mid"])
+        .otherwise(SAMPLE_RATES["lo"])
+    )
+    samp_hash = corpus.content_hash_expr(
+        F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))
+    )
+    r = (
+        d.withColumn("q_band", q_band)
+        .withColumn("rate", rate.cast("long"))
+        .withColumn("samp_hash", samp_hash.cast("long"))
+    )
+    return r.where(F.col("samp_hash") % 1000 < F.col("rate")).select(
+        "doc_id",
+        "pred_lang",
+        "q_band",
+        "quality",
+        "samp_hash",
+        F.round(1000.0 / F.col("rate"), 6).alias("weight"),
+    )
+
+
+def sql_sample_stratified() -> str:
+    stop_lits = ", ".join(f"'{w}'" for w in STOP_LEMMATA)
+    score_cols = ",\n           ".join(
+        "SUM(CASE WHEN word IN ({}) THEN 1 ELSE 0 END) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang
+        )
+        for lang in LANG_PRIORITY
+    )
+    greatest = "GREATEST({})".format(
+        ", ".join(f"score_{lang}" for lang in LANG_PRIORITY)
+    )
+    case = " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in LANG_PRIORITY
+    )
+    samp_hash = corpus.sql_content_hash(
+        f"(CAST(doc_id AS VARCHAR) || '{SAMPLE_SALT}')"
+    )
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+d AS (
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           SUM(length(word)) AS n_chars,
+           SUM(CASE WHEN word IN ({stop_lits}) THEN 1 ELSE 0 END) AS n_stop,
+           COUNT(DISTINCT word) AS n_uniq,
+           {score_cols}
+    FROM tok GROUP BY doc_id
+),
+s AS (
+    SELECT doc_id,
+           ROUND(0.25 * (CASE WHEN n_tok >= 20 AND n_tok <= 200 THEN 1 ELSE 0 END)
+                 + 0.25 * (CASE WHEN n_chars * 1.0 / n_tok >= 3.0
+                                 AND n_chars * 1.0 / n_tok <= 10.0 THEN 1 ELSE 0 END)
+                 + 0.25 * (1.0 - n_stop * 1.0 / n_tok)
+                 + 0.25 * (n_uniq * 1.0 / n_tok), 6) AS quality,
+           CASE {case} END AS pred_lang
+    FROM d
+),
+b AS (
+    SELECT *,
+           CASE WHEN quality >= {Q_HI} THEN 'hi'
+                WHEN quality >= {Q_MID} THEN 'mid'
+                ELSE 'lo' END AS q_band
+    FROM s
+),
+r AS (
+    SELECT *,
+           CASE q_band WHEN 'hi' THEN {SAMPLE_RATES['hi']}
+                       WHEN 'mid' THEN {SAMPLE_RATES['mid']}
+                       ELSE {SAMPLE_RATES['lo']} END AS rate,
+           {samp_hash} AS samp_hash
+    FROM b
+)
+SELECT doc_id, pred_lang, q_band, quality,
+       CAST(samp_hash AS BIGINT) AS samp_hash,
+       ROUND(1000.0 / rate, 6) AS weight
+FROM r
+WHERE samp_hash % 1000 < rate"""
+    )

@@ -307,6 +307,16 @@ def q_sim_multiprobe_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.multiprobe_topk_scaled(spark, sf_dir)
 
 
+@query("similarity_ivf_topk", oracle=similarity.sql_ivf_topk())
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic one-Lloyd-round coarse
+    quantizer (K_CELLS fixed-point centroids), NPROBE-cell probing,
+    exact FP12 cosine rerank — the centroid-codebook scale path
+    alongside the hyperplane-LSH family (production sizes the codebook
+    via ivf_cells_for ~ sqrt(n) and broadcasts it)."""
+    return similarity.ivf_topk(spark, sf_dir)
+
+
 @query("lang_id", oracle=textstats.sql_lang_id())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-voting language identification."""
@@ -332,6 +342,55 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive positional polynomial fingerprint per document."""
     return textstats.fingerprint(spark, sf_dir)
+
+
+@query("sample_stratified", oracle=textstats.sql_sample_stratified())
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified corpus sample: quality-band
+    strata, per-mille keep rates, inverse-probability weights — the
+    curation down-sampling step of a training-data pipeline (one token
+    scan + one doc-grain hash aggregate; no rand(), replayable)."""
+    return textstats.sample_stratified(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (decontamination, repetition gates, packing, mixing)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import curation  # noqa: E402
+
+
+@query("decontaminate_ngram", oracle=curation.sql_decontaminate_ngram())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing 8-grams with
+    the holdout set (distinct gram-id join + one doc-keyed aggregate;
+    with a real benchmark table the gram side broadcasts)."""
+    return curation.decontaminate_ngram(spark, sf_dir)
+
+
+@query("quality_repetition", oracle=curation.sql_quality_repetition())
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: top-2-gram fraction, duplicate
+    2-/3-gram and duplicate-word fractions + keep flag (doc-bounded
+    window leads + two-level hash aggregates, no corpus-wide window)."""
+    return curation.quality_repetition(spark, sf_dir)
+
+
+@query("pack_sequences", oracle=curation.sql_pack_sequences())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic streaming sequence packing into PACK_BUDGET-token
+    bins per (source, shard): exclusive prefix-sum binning with spill
+    carry — the batch-construction step before writing training
+    shards; shard count bounds every window task."""
+    return curation.pack_sequences(spark, sf_dir)
+
+
+@query("domain_mix_rates", oracle=curation.sql_domain_mix_rates())
+def q_domain_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture solver: per-source keep rates realizing target
+    weights at max feasible size (one source-keyed aggregate; windows
+    run over the |sources|-row dimension only)."""
+    return curation.domain_mix_rates(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,38 @@ def run_available_now(df: DataFrame, query_name: str) -> list:
     return df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
 
 
+def streaming_dedup_ingest(spark: SparkSession, path: str) -> DataFrame:
+    """Exactly-once ingest dedup over a document stream with BOUNDED
+    state: ``dropDuplicatesWithinWatermark`` on the content hash.
+
+    The batch engine dedups retrospectively (operators/dedup.py); a
+    100 TB ingest pipeline also needs the streaming gate that drops
+    re-crawled/re-delivered duplicates as they arrive. Plain
+    ``dropDuplicates`` on a stream keeps every key forever (state =
+    corpus cardinality — a scale-killer); the watermark variant expires
+    keys once the event-time horizon passes, so state holds only the
+    dedup window (here 30 days of arrivals), which is the production
+    contract: duplicates arriving within the horizon are dropped,
+    archaeology-grade re-dedup stays a batch job.
+
+    Event time derives from the corpus contract (doc_id % 7 days onto
+    the epoch date) so replays are deterministic; a real crawler uses
+    the fetch timestamp. Emits the first-arrival row per content_id.
+    """
+    docs = stream_documents(spark, path)
+    d = docs.withColumn("content_id", corpus.content_hash_expr("text")).withColumn(
+        "ts",
+        F.to_timestamp(
+            F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("doc_id") % 7).cast("int"))
+        ),
+    )
+    return (
+        d.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["content_id"])
+        .select("doc_id", "source", "content_id", "ts")
+    )
+
+
 def streaming_running_totals(spark: SparkSession, path: str) -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``
     (the north-rule shape session_window cannot express): per-source
