@@ -574,3 +574,117 @@ def test_multiprobe_recall_vs_bruteforce(spark):
     # data recall level
     recall = hit / len(exact)
     assert recall > 0, f"recall {recall}"
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: trained LM, substring spans, PII, wordform, Frog decode
+# ---------------------------------------------------------------------------
+
+
+def test_lm_bigram_doc_matches_oracle(spark, oracle):
+    df = QUERIES["lm_bigram_doc"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["lm_bigram_doc"])
+
+
+def test_lm_perplexity_buckets_matches_oracle(spark, oracle):
+    df = QUERIES["lm_perplexity_buckets"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["lm_perplexity_buckets"])
+
+
+def test_lm_bucket_semantics(spark):
+    """Head tercile must have lower perplexity than tail, per source."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["lm_perplexity_buckets"](spark, SF_DIR)
+    agg = (
+        df.groupBy("source", "bucket")
+        .agg(F.avg("ppl").alias("mean_ppl"))
+        .groupBy("source")
+        .pivot("bucket", ["head", "tail"])
+        .sum("mean_ppl")
+        .collect()
+    )
+    assert agg
+    for r in agg:
+        assert r["head"] < r["tail"]
+
+
+def test_substring_spans_matches_oracle(spark, oracle):
+    df = QUERIES["dedup_substring_spans"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["dedup_substring_spans"])
+
+
+def test_substring_spans_semantics(spark):
+    """Span accounting invariants: dup + kept = n_tok; spans only from
+    genuinely repeated SPAN_K-grams."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["dedup_substring_spans"](spark, SF_DIR)
+    bad = df.where(
+        (F.col("dup_token_cnt") + F.col("kept_token_cnt") != F.col("n_tok"))
+        | (F.col("dup_frac") < 0)
+        | (F.col("dup_frac") > 1)
+    ).count()
+    assert bad == 0
+    assert df.where(F.col("n_dup_spans") > 0).count() > 0
+
+
+def test_pii_redact_matches_oracle(spark, oracle):
+    df = QUERIES["pii_redact"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["pii_redact"])
+
+
+def test_pii_redaction_complete(spark):
+    """After redaction no PII pattern survives in any row."""
+    from pyspark.sql import functions as F
+    from tscan_spark.operators import textstats
+
+    df = QUERIES["pii_redact"](spark, SF_DIR)
+    leaked = df.where(
+        F.col("redacted").rlike(textstats.PII_EMAIL)
+        | F.col("redacted").rlike(textstats.PII_PHONE)
+        | F.col("redacted").rlike(textstats.PII_IPV4)
+    ).count()
+    assert leaked == 0
+    assert df.where(F.col("has_pii")).count() > 0
+
+
+def test_compound_split_matches_oracle(spark, oracle):
+    df = QUERIES["compound_split"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["compound_split"])
+
+
+def test_compound_split_semantics(spark):
+    """Both parts of every split are vocabulary words and reassemble the
+    original (direct) or original-with-s (linked)."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["compound_split"](spark, SF_DIR)
+    comp = df.where(F.col("is_compound"))
+    assert comp.count() > 0
+    vocab = {r.word for r in df.select("word").collect()}
+    for r in comp.collect():
+        assert r.sat in vocab and r.head in vocab
+        if r.rule == "direct":
+            assert r.sat + r.head == r.word
+        else:
+            assert r.sat + "s" + r.head == r.word
+
+
+def test_relemmatize_matches_oracle(spark, oracle):
+    df = QUERIES["relemmatize"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["relemmatize"])
+
+
+def test_frog_decode_matches_oracle(spark, oracle):
+    df = QUERIES["frog_feature_decode"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["frog_feature_decode"])
+
+
+def test_frog_decode_roundtrip(spark):
+    """The decoder (string-only) must agree with the analog prop path on
+    every token."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["frog_feature_decode"](spark, SF_DIR)
+    assert df.where(~F.col("consistent")).count() == 0

@@ -577,3 +577,153 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" — the suffix-array exact-substring family,
+# re-expressed as duplicated fixed-length gram spans)
+# ---------------------------------------------------------------------------
+#
+# A position p in a document is "duplicated" when the SPAN_K-gram starting
+# at p occurs more than once anywhere in the corpus (including elsewhere in
+# the same document).  Overlapping duplicated grams merge into maximal
+# spans; the per-document verdict is the span count, the duplicated-token
+# count/fraction, and the token count that survives span removal.
+#
+# Physical plan: one lag/lead window per document (sorted locally after a
+# single shuffle on doc_id), one corpus-wide hash aggregate on gram_id
+# (count > 1 — the inverted index; no posting-list join, so no quadratic
+# term: unlike the Jaccard family we only need each gram's multiplicity,
+# never its pairing), one shuffle join back on gram_id, then island
+# merging with doc-bounded windows.  Every stage is linear in corpus
+# size; gram ids use the 31-bit replayable content hash here (oracle
+# constraint) — at 100 TB swap in xxhash64, same plan.
+
+SPAN_K = 15  # gram length in tokens (Lee et al. use 50 BPE tokens)
+
+
+def _span_grams(tok: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram_id) for every SPAN_K-gram with its position."""
+    w = Window.partitionBy("doc_id").orderBy("word_idx")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, SPAN_K)]
+    g = tok.select(
+        "doc_id",
+        F.col("word_idx").alias("pos"),
+        F.concat_ws(" ", *parts).alias("gram"),
+        parts[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    return g.select("doc_id", "pos", corpus.content_hash_expr("gram").alias("gram_id"))
+
+
+def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span statistics.
+
+    Output: doc_id, n_tok, n_dup_spans, dup_token_cnt, dup_frac,
+    kept_token_cnt (docs with no duplicated span appear with zeros).
+    """
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    grams = _span_grams(tok)
+    dup_ids = grams.groupBy("gram_id").agg(F.count(F.lit(1)).alias("n")).where(
+        F.col("n") > 1
+    )
+    hits = grams.join(dup_ids.select("gram_id"), "gram_id")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") > F.coalesce(F.lag("pos").over(w) + SPAN_K - 1, F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    span = islands.groupBy("doc_id", "island_id").agg(
+        (F.max("pos") - F.min("pos") + SPAN_K).alias("span_len")
+    )
+    per_doc = span.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("span_len").cast("long").alias("dup_token_cnt"),
+    )
+    ntok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    out = ntok.join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_token_cnt", F.lit(0)).cast("long").alias("dup_token_cnt"),
+        F.round(F.coalesce("dup_token_cnt", F.lit(0)) / F.col("n_tok"), 6).alias(
+            "dup_frac"
+        ),
+        (F.col("n_tok") - F.coalesce("dup_token_cnt", F.lit(0)))
+        .cast("long")
+        .alias("kept_token_cnt"),
+    )
+
+
+def sql_substring_spans() -> str:
+    leads = ",\n               ".join(
+        f"lead(word, {i}) OVER (PARTITION BY doc_id ORDER BY word_idx) AS w{i}"
+        for i in range(1, SPAN_K)
+    )
+    concat = " || ' ' || ".join(["word"] + [f"w{i}" for i in range(1, SPAN_K)])
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+grams AS (
+    SELECT doc_id, pos, {corpus.sql_content_hash(f"({concat})")} AS gram_id
+    FROM (
+        SELECT doc_id, word_idx AS pos, word,
+               {leads}
+        FROM tok
+    )
+    WHERE w{SPAN_K - 1} IS NOT NULL
+),
+dup_ids AS (
+    SELECT gram_id FROM grams GROUP BY gram_id HAVING COUNT(*) > 1
+),
+hits AS (
+    SELECT g.doc_id, g.pos FROM grams g JOIN dup_ids USING (gram_id)
+),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                                   ORDER BY pos) + {SPAN_K} - 1, -1)
+                THEN 1 ELSE 0 END AS new_island
+    FROM hits
+),
+islands AS (
+    SELECT doc_id, pos,
+           SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM flagged
+),
+span AS (
+    SELECT doc_id, island_id, MAX(pos) - MIN(pos) + {SPAN_K} AS span_len
+    FROM islands GROUP BY doc_id, island_id
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_token_cnt
+    FROM span GROUP BY doc_id
+),
+ntok AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tok,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_token_cnt, 0) AS BIGINT) AS dup_token_cnt,
+       round(coalesce(p.dup_token_cnt, 0) * 1.0 / n.n_tok, 6) AS dup_frac,
+       CAST(n.n_tok - coalesce(p.dup_token_cnt, 0) AS BIGINT) AS kept_token_cnt
+FROM ntok n LEFT JOIN per_doc p ON p.doc_id = n.doc_id
+"""
+    )

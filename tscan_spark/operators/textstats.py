@@ -362,3 +362,118 @@ SELECT doc_id, pred_lang, q_band, quality,
 FROM r
 WHERE samp_hash % 1000 < rate"""
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+#
+# A standard pre-training curation pass: detect emails / phone numbers /
+# IPv4 addresses and redact them to typed placeholders.  The synthetic
+# corpus contains no digits, so the operator synthesizes a deterministic
+# PII-bearing ``contact`` column from doc_id (the documented
+# synthetic-input convention, same as the surprisal and multimodal
+# sources) and runs REAL regex mechanics over it: detection via
+# regexp_count, redaction via chained regexp_replace — all JVM-side
+# expressions inside whole-stage codegen, no UDFs.  The patterns stay in
+# the common Java-regex / RE2 subset so the DuckDB oracle replays them.
+
+PII_EMAIL = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PII_PHONE = "[0-9]{2}-[0-9]{8}"
+PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def _contact_expr():
+    """Deterministic PII-bearing string derived from doc_id."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" user"),
+            d.cast("string"),
+            F.lit("@mail"),
+            (d % 10).cast("string"),
+            F.lit(".com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 11 == 0,
+        F.concat(F.lit(" 06-"), F.lpad((d % 100000000).cast("string"), 8, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 13 == 0,
+        F.concat(
+            F.lit(" 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (F.floor(d / 256) % 256).cast("string"),
+            F.lit("."),
+            (d % 250 + 1).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.lit("note "), d.cast("string"), email, phone, ip)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII counts + redacted contact string.
+
+    Output: doc_id, n_email, n_phone, n_ipv4, has_pii, redacted.
+    """
+    docs = corpus.load(spark, sf_dir, "documents").select(
+        "doc_id", _contact_expr().alias("contact")
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("contact"), F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(PII_IPV4),
+        F.lit("<IP>"),
+    )
+    n_email = F.regexp_count(F.col("contact"), F.lit(PII_EMAIL))
+    n_phone = F.regexp_count(F.col("contact"), F.lit(PII_PHONE))
+    n_ipv4 = F.regexp_count(F.col("contact"), F.lit(PII_IPV4))
+    return docs.select(
+        "doc_id",
+        n_email.cast("int").alias("n_email"),
+        n_phone.cast("int").alias("n_phone"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+        ((n_email + n_phone + n_ipv4) > 0).alias("has_pii"),
+        red.alias("redacted"),
+    )
+
+
+def sql_pii_redact() -> str:
+    email, phone, ip = PII_EMAIL, PII_PHONE, PII_IPV4
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           'note ' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' user' || CAST(doc_id AS VARCHAR) || '@mail'
+                        || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' 06-' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+                        || CAST(doc_id % 250 + 1 AS VARCHAR)
+                   ELSE '' END AS contact
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(contact, '{email}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(contact, '{phone}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(contact, '{ip}')) AS INT) AS n_ipv4,
+       (len(regexp_extract_all(contact, '{email}'))
+        + len(regexp_extract_all(contact, '{phone}'))
+        + len(regexp_extract_all(contact, '{ip}'))) > 0 AS has_pii,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(contact, '{email}', '<EMAIL>', 'g'),
+               '{phone}', '<PHONE>', 'g'),
+           '{ip}', '<IP>', 'g') AS redacted
+FROM base"""

@@ -1,0 +1,245 @@
+"""Lexicon-driven word-form analysis: compound splitting (S5 full) and
+re-lemmatization (S6 full).
+
+The reference resolves compounds from a precomputed compound dictionary
+(``fillN`` head/satellite columns, /root/reference/src/tscan.cxx:223-262)
+and falls back to suffix heuristics for lemma recovery
+(``findInflected``-style ±e/en/s cascades, tscan.cxx:1676-1724).  The
+engine's battery path keeps the cheap fixed-width rule (annotate.py W25)
+so the ~400-column oracle surface is stable; THIS module is the full
+mechanism: a dictionary-driven splitter that derives the compound
+dictionary from the corpus vocabulary itself, and a lexicon-validated
+suffix-strip re-lemmatizer.
+
+compound split (Dutch modifier+head, head is the suffix):
+
+    word = sat + head            (direct)
+    word = sat + 's' + head      (linking-s, "verbindings-s")
+
+both parts must be vocabulary words of length >= MIN_PART; among valid
+splits the LONGEST head wins (minimal split point), direct before
+linked at ties — deterministic, no scoring.
+
+Physical shape: everything runs at VOCABULARY grain (distinct words —
+orders of magnitude smaller than the corpus; the reference's compound
+dictionary is the same shape).  Split candidates explode |word| rows
+per word, both part-lookups are broadcast hash joins against the same
+vocab dim, and the winner is picked with a per-word window over ~|word|
+rows.  Corpus-grain consumers then broadcast-join the result, exactly
+like every other lexicon dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tscan_spark import corpus, lexicons
+
+MIN_PART = 3  # minimal satellite/head length in characters
+MIN_COMPOUND = 2 * MIN_PART
+
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.load(spark, sf_dir, "documents")
+    return lexicons.word_freq(docs).select("word", "wf_count")
+
+
+def compound_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-driven compound split over the corpus vocabulary.
+
+    Output (vocab grain): word, wf_count, is_compound, sat, head, rule
+    ('direct' | 's-link'; NULL parts for non-compounds).
+    """
+    vocab = _vocab(spark, sf_dir)
+    base = vocab.where(F.length("word") >= MIN_COMPOUND).select(
+        "word", F.length("word").alias("len")
+    )
+    cand = base.select(
+        "word",
+        "len",
+        F.explode(F.sequence(F.lit(MIN_PART), F.col("len") - MIN_PART)).alias("i"),
+    )
+    direct = cand.select(
+        "word",
+        F.lit(0).alias("rule_rank"),
+        "i",
+        F.expr("substring(word, 1, i)").alias("sat"),
+        F.expr("substring(word, i + 1)").alias("head"),
+    )
+    linked = (
+        cand.where(
+            (F.expr("substring(word, i + 1, 1)") == "s")
+            & (F.col("len") - F.col("i") - 1 >= MIN_PART)
+        )
+        .select(
+            "word",
+            F.lit(1).alias("rule_rank"),
+            "i",
+            F.expr("substring(word, 1, i)").alias("sat"),
+            F.expr("substring(word, i + 2)").alias("head"),
+        )
+    )
+    cands = direct.unionByName(linked)
+    sat_dim = vocab.select(F.col("word").alias("sat"))
+    head_dim = vocab.select(F.col("word").alias("head"))
+    valid = cands.join(F.broadcast(sat_dim), "sat").join(
+        F.broadcast(head_dim), "head"
+    )
+    w = Window.partitionBy("word").orderBy(F.asc("i"), F.asc("rule_rank"))
+    best = (
+        valid.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "word",
+            "sat",
+            "head",
+            F.when(F.col("rule_rank") == 0, F.lit("direct"))
+            .otherwise(F.lit("s-link"))
+            .alias("rule"),
+        )
+    )
+    out = vocab.join(best, "word", "left")
+    return out.select(
+        "word",
+        "wf_count",
+        F.col("rule").isNotNull().alias("is_compound"),
+        "sat",
+        "head",
+        "rule",
+    )
+
+
+def sql_compound_split() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+vocab AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS wf_count FROM tok GROUP BY word
+),
+base AS (
+    SELECT word, length(word) AS len FROM vocab
+    WHERE length(word) >= {MIN_COMPOUND}
+),
+cand AS (
+    SELECT word, len, CAST(i AS INT) AS i
+    FROM base, unnest(generate_series({MIN_PART}, len - {MIN_PART})) t(i)
+),
+cands AS (
+    SELECT word, 0 AS rule_rank, i,
+           substring(word, 1, i) AS sat, substring(word, i + 1) AS head
+    FROM cand
+    UNION ALL
+    SELECT word, 1 AS rule_rank, i,
+           substring(word, 1, i) AS sat, substring(word, i + 2) AS head
+    FROM cand
+    WHERE substring(word, i + 1, 1) = 's' AND len - i - 1 >= {MIN_PART}
+),
+valid AS (
+    SELECT c.*
+    FROM cands c
+    JOIN vocab s ON s.word = c.sat
+    JOIN vocab h ON h.word = c.head
+),
+best AS (
+    SELECT word, sat, head,
+           CASE WHEN rule_rank = 0 THEN 'direct' ELSE 's-link' END AS rule
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY word
+                                     ORDER BY i ASC, rule_rank ASC) AS rn
+        FROM valid
+    )
+    WHERE rn = 1
+)
+SELECT v.word, v.wf_count,
+       b.rule IS NOT NULL AS is_compound,
+       b.sat, b.head, b.rule
+FROM vocab v LEFT JOIN best b ON b.word = v.word"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Re-lemmatization (S6): lexicon-validated suffix-strip cascade
+# ---------------------------------------------------------------------------
+#
+# Rule order mirrors the reference's inflection cascade (lemma recovery
+# tries the most specific transform first, each candidate validated
+# against the lexicon): -heden -> -heid, then strip -en, -s, -e; a word
+# whose candidate is not itself a vocabulary word keeps its surface form
+# (rule 'id').  Vocabulary grain; corpus consumers broadcast-join.
+
+RELEM_RULES = [
+    ("heden", "heid", "heden"),  # (suffix, replacement, rule name)
+    ("en", "", "en"),
+    ("s", "", "s"),
+    ("e", "", "e"),
+]
+
+
+def relemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output (vocab grain): word, lemma2, rule."""
+    vocab = _vocab(spark, sf_dir).select("word")
+    out = vocab
+    for suf, rep, name in RELEM_RULES:
+        cand_expr = F.when(
+            F.col("word").endswith(suf)
+            & (F.length("word") > len(suf) + MIN_PART - 1),
+            F.concat(
+                F.expr(f"substring(word, 1, length(word) - {len(suf)})"),
+                F.lit(rep),
+            ),
+        )
+        dim = vocab.select(F.col("word").alias(f"_m_{name}"))
+        out = out.withColumn(f"_c_{name}", cand_expr).join(
+            F.broadcast(dim),
+            F.col(f"_c_{name}") == F.col(f"_m_{name}"),
+            "left",
+        )
+    lemma2 = F.col("word")
+    rule = F.lit("id")
+    # build the cascade back-to-front so earlier rules take priority
+    for suf, rep, name in reversed(RELEM_RULES):
+        hit = F.col(f"_m_{name}").isNotNull()
+        lemma2 = F.when(hit, F.col(f"_m_{name}")).otherwise(lemma2)
+        rule = F.when(hit, F.lit(name)).otherwise(rule)
+    return out.select("word", lemma2.alias("lemma2"), rule.alias("rule"))
+
+
+def sql_relemmatize() -> str:
+    cand_cols = []
+    for suf, rep, name in RELEM_RULES:
+        cand_cols.append(
+            f"CASE WHEN word LIKE '%{suf}' AND length(word) > {len(suf) + MIN_PART - 1} "
+            f"THEN substring(word, 1, length(word) - {len(suf)}) || '{rep}' "
+            f"END AS _c_{name}"
+        )
+    joins = "\n".join(
+        f"LEFT JOIN vocab v_{name} ON v_{name}.word = c._c_{name}"
+        for _, _, name in RELEM_RULES
+    )
+    case_lemma = "CASE " + " ".join(
+        f"WHEN v_{name}.word IS NOT NULL THEN v_{name}.word"
+        for _, _, name in RELEM_RULES
+    ) + " ELSE c.word END"
+    case_rule = "CASE " + " ".join(
+        f"WHEN v_{name}.word IS NOT NULL THEN '{name}'" for _, _, name in RELEM_RULES
+    ) + " ELSE 'id' END"
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+vocab AS (
+    SELECT DISTINCT word FROM tok
+),
+c AS (
+    SELECT word,
+           {", ".join(cand_cols)}
+    FROM vocab
+)
+SELECT c.word,
+       {case_lemma} AS lemma2,
+       {case_rule} AS rule
+FROM c
+{joins}"""
+    )

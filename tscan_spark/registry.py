@@ -256,6 +256,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(spark, sf_dir)
 
 
+@query("dedup_substring_spans", oracle=dedup.sql_substring_spans())
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 analog): merge
+    overlapping corpus-duplicated SPAN_K-grams into maximal spans; per
+    doc span count, duplicated-token fraction and surviving token count.
+    One gram-multiplicity aggregate — no posting-list self-join."""
+    return dedup.substring_spans(spark, sf_dir)
+
+
 @query("simhash_docs", oracle=dedup.sql_simhash_docs())
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document."""
@@ -353,6 +362,15 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.sample_stratified(spark, sf_dir)
 
 
+@query("pii_redact", oracle=textstats.sql_pii_redact())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (emails / phones / IPv4) over the synthetic
+    PII-bearing contact column: regexp_count + chained regexp_replace,
+    all whole-stage-codegen expressions, patterns in the Java-regex /
+    RE2 common subset."""
+    return textstats.pii_redact(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation (decontamination, repetition gates, packing, mixing)
 # ---------------------------------------------------------------------------
@@ -391,6 +409,70 @@ def q_domain_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights at max feasible size (one source-keyed aggregate; windows
     run over the |sources|-row dimension only)."""
     return curation.domain_mix_rates(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Frog/CGN feature-string source + decoder (W3/W4 full format path)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.sources import frog_feats  # noqa: E402
+
+
+@query("frog_feature_decode", oracle=frog_feats.sql_frog_decode())
+def q_frog_feature_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CGN positional feature-string render + FULL string decode
+    (toCGN head tag + per-family positional properties, cgn.cxx:356-383)
+    with a round-trip consistency flag vs the analog W4 props — pure
+    regexp/split codegen expressions at token grain."""
+    return frog_feats.frog_decode(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Word-form analysis (S5/S6 full: dictionary compound split, re-lemmatize)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import wordform  # noqa: E402
+
+
+@query("compound_split", oracle=wordform.sql_compound_split())
+def q_compound_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-driven compound splitter (fillN head/satellite analog,
+    tscan.cxx:223-262): direct + linking-s splits validated against the
+    corpus vocabulary, longest head wins; vocabulary-grain work only,
+    corpus consumers broadcast-join the result."""
+    return wordform.compound_split(spark, sf_dir)
+
+
+@query("relemmatize", oracle=wordform.sql_relemmatize())
+def q_relemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-validated suffix-strip re-lemmatization cascade
+    (-heden->-heid, -en, -s, -e; findInflected order,
+    tscan.cxx:1676-1724) at vocabulary grain."""
+    return wordform.relemmatize(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Trained bigram LM (S4 full: Wopr-analog source trained as a Spark job)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import lm  # noqa: E402
+
+
+@query("lm_bigram_doc", oracle=lm.sql_lm_bigram_doc())
+def q_lm_bigram_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document mean logprob + perplexity under a corpus-TRAINED add-one
+    bigram LM (the Wopr-source analog, tscan.cxx:1978-2064): one lag
+    window, one bigram hash aggregate, one shuffle join on (prev, word);
+    context totals + vocab scalar broadcast."""
+    return lm.lm_bigram_doc(spark, sf_dir)
+
+
+@query("lm_perplexity_buckets", oracle=lm.sql_lm_perplexity_buckets())
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles per source on trained-LM
+    perplexity; exact fixed-point rank here, approx-quantile cutpoints
+    at corpus scale (see operators/lm.py docstring)."""
+    return lm.lm_perplexity_buckets(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
