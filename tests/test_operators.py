@@ -662,7 +662,8 @@ def test_compound_split_semantics(spark):
     df = QUERIES["compound_split"](spark, SF_DIR)
     comp = df.where(F.col("is_compound"))
     assert comp.count() > 0
-    vocab = {r.word for r in df.select("word").collect()}
+    assert comp.where(F.col("rule") == "s-link").count() > 0
+    vocab = {r.word for r in df.where(F.col("in_corpus")).select("word").collect()}
     for r in comp.collect():
         assert r.sat in vocab and r.head in vocab
         if r.rule == "direct":
@@ -688,3 +689,39 @@ def test_frog_decode_roundtrip(spark):
 
     df = QUERIES["frog_feature_decode"](spark, SF_DIR)
     assert df.where(~F.col("consistent")).count() == 0
+
+
+def test_snapshot_time_travel_matches_oracle(spark, oracle):
+    df = QUERIES["snapshot_time_travel"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["snapshot_time_travel"])
+
+
+def test_snapshot_table_semantics(spark, tmp_path):
+    """Manifest chain, as-of resolution, atomicity contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tscan_spark import corpus
+    from tscan_spark.sources import snapshots
+
+    table = str(tmp_path / "snaptab")
+    docs = corpus.load(spark, SF_DIR, "documents")
+    m1 = snapshots.append_snapshot(docs.where(F.col("doc_id") < 10), table, 100.0)
+    m2 = snapshots.append_snapshot(
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)), table, 200.0
+    )
+    assert m1["snapshot_id"] == 1 and m1["parent_id"] is None
+    assert m2["snapshot_id"] == 2 and m2["parent_id"] == 1
+    # current read sees both commits; pinned read sees one
+    assert snapshots.read_snapshot(spark, table).count() == 20
+    assert snapshots.read_snapshot(spark, table, snapshot_id=1).count() == 10
+    # as-of picks the latest commit at/before ts
+    assert snapshots.read_snapshot(spark, table, as_of=150.0).count() == 10
+    assert snapshots.read_snapshot(spark, table, as_of=250.0).count() == 20
+    with pytest.raises(KeyError):
+        snapshots.resolve_snapshot(table, as_of=50.0)
+    with pytest.raises(KeyError):
+        snapshots.resolve_snapshot(table, snapshot_id=99)
+    log = snapshots.snapshot_log(table)
+    assert [m["snapshot_id"] for m in log] == [1, 2]
+    assert log[0]["rows_added"] == 10

@@ -45,14 +45,59 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexicons.word_freq(docs).select("word", "wf_count")
 
 
-def compound_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dictionary-driven compound split over the corpus vocabulary.
+# The synthetic corpus vocabulary contains no native compounds, so the
+# registered query augments it with a deterministic compound-bearing
+# extension (the documented synthetic-input convention, like the PII and
+# surprisal sources): concatenations of short vocabulary words, gated by
+# the replayable content hash so the list stays small.  The SPLITTER
+# only ever validates parts against the TRUE corpus vocabulary — the
+# extension is input, not dictionary.
+SYNTH_MIN, SYNTH_MAX = 3, 5  # short-word band feeding the extension
+SYNTH_MOD = 3  # hash gate: keep ~1/3 of direct and ~1/3 of linked pairs
 
-    Output (vocab grain): word, wf_count, is_compound, sat, head, rule
+
+def _candidate_words(vocab: DataFrame) -> DataFrame:
+    """vocab ∪ synthetic compounds; columns (word, wf_count, in_corpus)."""
+    shorts = vocab.where(
+        (F.length("word") >= SYNTH_MIN) & (F.length("word") <= SYNTH_MAX)
+    ).select(F.col("word").alias("w1"))
+    pairs = shorts.crossJoin(shorts.select(F.col("w1").alias("w2"))).where(
+        F.col("w1") != F.col("w2")
+    )
+    direct = pairs.select(
+        F.concat("w1", "w2").alias("word")
+    ).where(corpus.content_hash_expr(F.concat(F.col("w1"), F.col("w2"))) % SYNTH_MOD == 0)
+    linked = pairs.select(
+        F.concat("w1", F.lit("s"), "w2").alias("word")
+    ).where(
+        corpus.content_hash_expr(F.concat(F.col("w1"), F.lit("s"), F.col("w2")))
+        % SYNTH_MOD
+        == 1
+    )
+    synth = (
+        direct.unionByName(linked)
+        .distinct()
+        .join(vocab.select("word"), "word", "left_anti")
+        .select(
+            "word",
+            F.lit(None).cast("long").alias("wf_count"),
+            F.lit(False).alias("in_corpus"),
+        )
+    )
+    return vocab.select(
+        "word", "wf_count", F.lit(True).alias("in_corpus")
+    ).unionByName(synth)
+
+
+def compound_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-driven compound split over vocab + synthetic extension.
+
+    Output: word, wf_count, in_corpus, is_compound, sat, head, rule
     ('direct' | 's-link'; NULL parts for non-compounds).
     """
     vocab = _vocab(spark, sf_dir)
-    base = vocab.where(F.length("word") >= MIN_COMPOUND).select(
+    words = _candidate_words(vocab)
+    base = words.where(F.length("word") >= MIN_COMPOUND).select(
         "word", F.length("word").alias("len")
     )
     cand = base.select(
@@ -99,10 +144,11 @@ def compound_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rule"),
         )
     )
-    out = vocab.join(best, "word", "left")
+    out = words.join(best, "word", "left")
     return out.select(
         "word",
         "wf_count",
+        "in_corpus",
         F.col("rule").isNotNull().alias("is_compound"),
         "sat",
         "head",
@@ -118,8 +164,31 @@ def sql_compound_split() -> str:
 vocab AS (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS wf_count FROM tok GROUP BY word
 ),
+shorts AS (
+    SELECT word AS w1 FROM vocab
+    WHERE length(word) BETWEEN {SYNTH_MIN} AND {SYNTH_MAX}
+),
+pairs AS (
+    SELECT a.w1, b.w1 AS w2 FROM shorts a, shorts b WHERE a.w1 <> b.w1
+),
+synth0 AS (
+    SELECT w1 || w2 AS word FROM pairs
+    WHERE {corpus.sql_content_hash("(w1 || w2)")} % {SYNTH_MOD} = 0
+    UNION
+    SELECT w1 || 's' || w2 AS word FROM pairs
+    WHERE {corpus.sql_content_hash("(w1 || 's' || w2)")} % {SYNTH_MOD} = 1
+),
+synth AS (
+    SELECT DISTINCT s.word FROM synth0 s
+    WHERE s.word NOT IN (SELECT word FROM vocab)
+),
+words AS (
+    SELECT word, wf_count, TRUE AS in_corpus FROM vocab
+    UNION ALL
+    SELECT word, CAST(NULL AS BIGINT) AS wf_count, FALSE AS in_corpus FROM synth
+),
 base AS (
-    SELECT word, length(word) AS len FROM vocab
+    SELECT word, length(word) AS len FROM words
     WHERE length(word) >= {MIN_COMPOUND}
 ),
 cand AS (
@@ -152,10 +221,10 @@ best AS (
     )
     WHERE rn = 1
 )
-SELECT v.word, v.wf_count,
+SELECT w.word, w.wf_count, w.in_corpus,
        b.rule IS NOT NULL AS is_compound,
        b.sat, b.head, b.rule
-FROM vocab v LEFT JOIN best b ON b.word = v.word"""
+FROM words w LEFT JOIN best b ON b.word = w.word"""
     )
 
 

@@ -412,6 +412,22 @@ def q_domain_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Snapshot table format with time travel (Iceberg analog)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.sources import snapshots  # noqa: E402
+
+
+@query("snapshot_time_travel", oracle=snapshots.sql_snapshot_time_travel())
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-analog snapshot table: 3 append commits (manifest chain,
+    atomic commit), then an AS-OF read that must see exactly the first
+    two — the table-level no-future-data rule (row-level counterpart:
+    operators/asof.py)."""
+    return snapshots.snapshot_time_travel(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Frog/CGN feature-string source + decoder (W3/W4 full format path)
 # ---------------------------------------------------------------------------
 
