@@ -725,3 +725,64 @@ def test_snapshot_table_semantics(spark, tmp_path):
     log = snapshots.snapshot_log(table)
     assert [m["snapshot_id"] for m in log] == [1, 2]
     assert log[0]["rows_added"] == 10
+
+
+def test_dedup_clusters_matches_oracle(spark, oracle):
+    df = QUERIES["dedup_clusters"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["dedup_clusters"])
+
+
+def test_dedup_clusters_semantics(spark):
+    """Cluster ids are transitive-closed over the pair set and every
+    cluster keeps exactly one doc."""
+    from pyspark.sql import functions as F
+
+    from tscan_spark.operators import dedup
+
+    pairs = dedup.simhash_pairs(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    }
+    for p in pairs:  # both endpoints of every edge share a cluster
+        assert labels[p.doc_a] == labels[p.doc_b]
+    df = QUERIES["dedup_clusters"](spark, SF_DIR)
+    per = df.groupBy("cluster_id").agg(
+        F.sum(F.col("is_keeper").cast("int")).alias("k")
+    )
+    assert per.where(F.col("k") != 1).count() == 0
+
+
+def test_bpe_top_pairs_matches_oracle(spark, oracle):
+    df = QUERIES["bpe_top_pairs"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["bpe_top_pairs"])
+
+
+def test_bpe_apply_merge_matches_oracle(spark, oracle):
+    df = QUERIES["bpe_apply_merge"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["bpe_apply_merge"])
+
+
+def test_bpe_merge_reduces_symbols(spark):
+    """The applied merge never increases symbol count and strictly
+    reduces it for words containing the pair."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["bpe_apply_merge"](spark, SF_DIR)
+    assert df.where(F.col("n_sym_after") > F.col("n_sym_before")).count() == 0
+    assert df.where(F.col("n_sym_after") < F.col("n_sym_before")).count() > 0
+
+
+def test_rolling_event_features_matches_oracle(spark, oracle):
+    df = QUERIES["rolling_event_features"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["rolling_event_features"])
+
+
+def test_rolling_window_semantics(spark):
+    """The trailing frame always contains the current row, and n_1h
+    grows only with events inside the interval."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["rolling_event_features"](spark, SF_DIR)
+    assert df.where(F.col("n_1h") < 1).count() == 0
+    assert df.where(F.col("n_1h") > 1).count() > 0

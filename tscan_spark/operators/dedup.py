@@ -727,3 +727,127 @@ SELECT n.doc_id, n.n_tok,
 FROM ntok n LEFT JOIN per_doc p ON p.doc_id = n.doc_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution (pairs -> connected components -> keep list)
+# ---------------------------------------------------------------------------
+#
+# Every pair family above stops at verified PAIRS; a production dedup
+# pass must then pick ONE survivor per duplicate CLUSTER (pairs are not
+# transitive-closed: a~b, b~c without a~c still must collapse to one
+# keeper).  This operator closes that step: connected components over
+# the verified simhash near-dup edges via iterative min-label
+# propagation, then the canonical keep policy (lowest doc_id survives).
+#
+# Spark shape: labels start as node ids; each round is one join of the
+# symmetrized edge list with current labels + one min-aggregate, i.e.
+# the classic hash-hash CC round.  Convergence is checked with a single
+# scalar (sum of labels) per round — rounds needed = cluster diameter,
+# and near-dup clusters are shallow (diameter <= a few hops).  At 10^12
+# scale you swap in the large-star/small-star algorithm (O(log n)
+# rounds, same per-round join shape) and checkpoint labels between
+# rounds to cut lineage; the registered plan is the same joins.
+#
+# DuckDB oracle: WITH RECURSIVE reachability — cluster id = MIN node id
+# reachable over undirected edges (UNION dedups, so it terminates).
+
+CC_MAX_ROUNDS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment + keep verdict for every document.
+
+    Output: doc_id, cluster_id (min doc_id in the component; own id for
+    docs in no near-dup pair), cluster_size, is_keeper.
+    """
+    pairs = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    prev_sum = None
+    for _ in range(CC_MAX_ROUNDS):
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        s = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    size_w = Window.partitionBy("cluster_id")
+    res = out.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+    edges.unpersist()
+    return res
+
+
+def sql_dedup_clusters() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return (
+        "WITH RECURSIVE "
+        + _sql_simhash_ctes().strip()
+        + f""",
+banded AS (
+    SELECT doc_id, simhash, CAST(b.band AS INT) AS band,
+           (simhash >> (CAST(b.band AS INT) * {SIMHASH_BAND_BITS})) & {mask} AS band_val
+    FROM shs CROSS JOIN range({SIMHASH_BANDS}) b(band)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b USING (band, band_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT doc_a AS node, doc_a AS r FROM edges
+    UNION
+    SELECT re.node, e.doc_b AS r
+    FROM reach re JOIN edges e ON e.doc_a = re.r
+),
+lab AS (
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+assigned AS (
+    SELECT d.doc_id,
+           CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_keeper
+FROM assigned"""
+    )

@@ -145,3 +145,58 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        ROUND((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6, 6) AS gap_sec
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling event-time range windows (L4 extension)
+# ---------------------------------------------------------------------------
+#
+# Trailing-interval features per entity ("events/value in the last
+# hour") via a RANGE frame over epoch-microsecond order — the
+# batch counterpart of the streaming sliding window, and the feature
+# shape online feature stores serve.  RANGE frames take a single
+# numeric order key; timestamp peers aggregate together in both
+# engines, so no tie-break is needed (or allowed).  Value sums use the
+# fixed-point ladder so both engines add identical integers.
+
+ROLL_INTERVAL_US = 3600 * 1_000_000  # one hour
+
+
+def rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count / sum / mean of `value` over the trailing hour
+    for the same user.  Output: event_id, user_id, ts_us, n_1h, sum_1h,
+    avg_1h."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("ts_us"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_fp"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLL_INTERVAL_US, 0)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    sum_fp = F.sum("v_fp").over(w)
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        cnt.cast("long").alias("n_1h"),
+        F.round(sum_fp / 1e6, 6).alias("sum_1h"),
+        F.round(sum_fp / 1e6 / cnt, 6).alias("avg_1h"),
+    )
+
+
+SQL_ROLLING = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) OVER w / 1e6, 6)
+           AS sum_1h,
+       ROUND(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) OVER w / 1e6
+             / COUNT(*) OVER w, 6) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLL_INTERVAL_US} PRECEDING AND CURRENT ROW)"""

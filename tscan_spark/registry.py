@@ -180,6 +180,14 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.lag_lead(spark, sf_dir)
 
 
+@query("rolling_event_features", oracle=temporal.SQL_ROLLING)
+def q_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour count/sum/mean per user via an event-time RANGE
+    frame (fixed-point value sums; timestamp peers aggregate together
+    in both engines)."""
+    return temporal.rolling_features(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Point-in-time as-of lexicon join (SURVEY.md §2.4 J5, the north-rule core)
 # ---------------------------------------------------------------------------
@@ -254,6 +262,15 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates, exact-Jaccard verified."""
     return dedup.minhash_lsh_pairs(spark, sf_dir)
+
+
+@query("dedup_clusters", oracle=dedup.sql_dedup_clusters())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> keep-list closure: connected components over verified
+    simhash near-dup edges (iterative min-label propagation, rounds =
+    cluster diameter; large-star/small-star at 10^12 scale) + canonical
+    lowest-doc_id keep policy. Oracle: recursive reachability CTE."""
+    return dedup.dedup_clusters(spark, sf_dir)
 
 
 @query("dedup_substring_spans", oracle=dedup.sql_substring_spans())
@@ -409,6 +426,29 @@ def q_domain_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights at max feasible size (one source-keyed aggregate; windows
     run over the |sources|-row dimension only)."""
     return curation.domain_mix_rates(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training step
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import bpe  # noqa: E402
+
+
+@query("bpe_top_pairs", oracle=bpe.sql_bpe_top_pairs())
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule selection: corpus-weighted adjacent char-pair
+    counts over the vocabulary dimension, top-N by (count DESC, pair
+    ASC) — the aggregation at the heart of tokenizer training."""
+    return bpe.bpe_top_pairs(spark, sf_dir)
+
+
+@query("bpe_apply_merge", oracle=bpe.sql_bpe_apply_merge())
+def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the #1 BPE merge to every vocabulary word's symbol
+    sequence (left-to-right non-overlapping replace, identical
+    semantics both engines); symbol counts before/after."""
+    return bpe.bpe_apply_merge(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
