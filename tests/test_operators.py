@@ -786,3 +786,51 @@ def test_rolling_window_semantics(spark):
     df = QUERIES["rolling_event_features"](spark, SF_DIR)
     assert df.where(F.col("n_1h") < 1).count() == 0
     assert df.where(F.col("n_1h") > 1).count() > 0
+
+
+def test_dedup_containment_matches_oracle(spark, oracle):
+    df = QUERIES["dedup_containment"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["dedup_containment"])
+
+
+def test_containment_semantics(spark):
+    """Containment bounds Jaccard: for any pair, jaccard <= min cont;
+    exact duplicates have containment 1.0 on both sides."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["dedup_containment"](spark, SF_DIR)
+    assert df.count() > 0
+    bad = df.where(
+        (F.col("cont_a") > 1.0) | (F.col("cont_b") > 1.0)
+        | (F.col("max_cont") < F.greatest("cont_a", "cont_b") - 1e-9)
+    ).count()
+    assert bad == 0
+    # true near-supersets exist at this SF: one side fully contained
+    assert df.where(F.col("max_cont") == 1.0).count() > 0
+    # and containment is genuinely asymmetric somewhere (the case
+    # Jaccard under-reports)
+    assert df.where(F.col("cont_a") != F.col("cont_b")).count() > 0
+
+
+def test_bpe_tokenize_matches_oracle(spark, oracle):
+    df = QUERIES["bpe_tokenize"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["bpe_tokenize"])
+
+
+def test_bpe_tokenize_roundtrip(spark):
+    """Removing separators from the tokenization recovers the word, and
+    applying 8 merges never yields more tokens than the single merge."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["bpe_tokenize"](spark, SF_DIR)
+    assert df.where(F.replace("tokens", F.lit(" "), F.lit("")) != F.col("word")).count() == 0
+    one = QUERIES["bpe_apply_merge"](spark, SF_DIR).select(
+        "word", F.col("n_sym_after").alias("n1")
+    )
+    j = df.join(one, "word")
+    assert j.where(F.col("n_tokens") > F.col("n1")).count() == 0
+
+
+def test_salted_word_counts_matches_oracle(spark, oracle):
+    df = QUERIES["salted_word_counts"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["salted_word_counts"])

@@ -177,3 +177,80 @@ SELECT s.word, s.wf_count, s.symbols_before,
            AS n_sym_after
 FROM seq s CROSS JOIN top1 t"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer apply: the full learned merge table, in rank order
+# ---------------------------------------------------------------------------
+#
+# Real BPE tokenization replays the merge table in learned order; with
+# character-pair rules each rule is one left-to-right non-overlapping
+# replace over the space-separated symbol sequence (merged symbols no
+# longer match later single-char patterns — exactly BPE's "new symbol"
+# semantics).  The merge table is N_MERGES rows — pivoted to ONE row and
+# broadcast, so application is a chained codegen expression over the
+# vocabulary; corpus-grain tokenization broadcast-joins the result like
+# every other lexicon dimension.  A rank that does not exist (tiny
+# vocabularies) falls back to a sentinel pattern containing '~', which
+# cannot occur in a symbol sequence.
+
+_NO_MATCH = "~ ~"
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply all N_MERGES learned merges in rank order to every word.
+
+    Output: word, wf_count, tokens (space-separated), n_tokens.
+    """
+    vocab = _vocab(spark, sf_dir)
+    top = bpe_top_pairs(spark, sf_dir)
+    wide = (
+        top.groupBy()
+        .pivot("rank", list(range(1, N_MERGES + 1)))
+        .agg(F.first(F.concat("left_sym", F.lit(" "), "right_sym")))
+    )
+    seq0 = vocab.select(
+        "word",
+        "wf_count",
+        F.concat_ws(
+            " ", F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+        ).alias("seq"),
+    )
+    j = seq0.crossJoin(F.broadcast(wide))
+    expr = F.col("seq")
+    for k in range(1, N_MERGES + 1):
+        pat = F.coalesce(F.col(f"`{k}`"), F.lit(_NO_MATCH))
+        expr = F.replace(expr, pat, F.replace(pat, F.lit(" "), F.lit("")))
+    return j.select(
+        "word",
+        "wf_count",
+        expr.alias("tokens"),
+        F.size(F.split(expr, " ")).cast("int").alias("n_tokens"),
+    )
+
+
+def sql_bpe_tokenize() -> str:
+    reps = "s.seq"
+    for k in range(1, N_MERGES + 1):
+        pat = (
+            f"coalesce((SELECT left_sym || ' ' || right_sym FROM ranked "
+            f"WHERE rank = {k}), '{_NO_MATCH}')"
+        )
+        reps = f"replace({reps}, {pat}, replace({pat}, ' ', ''))"
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + _SQL_PAIR_CTES.strip()
+        + f""",
+seq AS (
+    SELECT word, wf_count,
+           array_to_string(list_filter(string_split(word, ''), c -> c <> ''),
+                           ' ') AS seq
+    FROM vocab
+)
+SELECT s.word, s.wf_count,
+       {reps} AS tokens,
+       CAST(len(string_split({reps}, ' ')) AS INT) AS n_tokens
+FROM seq s"""
+    )

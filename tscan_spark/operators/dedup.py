@@ -207,6 +207,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic corpus-scale killer); every EMITTED jaccard is exact over
     the full sets.
     """
+    j, sh = _pair_overlaps(spark, sf_dir)
+    n_common = F.col("n_common")
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        n_common.cast("long").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+    return _with_cache(out.where(F.col("jaccard") >= JACCARD_THRESHOLD), sh)
+
+
+def _pair_overlaps(spark: SparkSession, sf_dir: str):
+    """Shared exact-overlap core of the shingle pair family: candidate
+    pairs from light posting lists + exact heavy correction.  Returns
+    (pairs with n_common/n_a/n_b, persisted shingle handle) — callers
+    own the final measure/filter AND the cache release (_with_cache)."""
     d = _docs(spark, sf_dir)
     # all set algebra runs on 64-bit shingle ids: narrow join keys and
     # shuffle rows instead of ~30-char strings (ids are engine-internal;
@@ -259,15 +276,81 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("harr_a").isNotNull() & F.col("harr_b").isNotNull(),
         F.size(F.array_intersect("harr_a", "harr_b")),
     ).otherwise(F.lit(0))
-    n_common = F.col("n_light") + n_heavy
-    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     out = j.select(
         "doc_a",
         "doc_b",
-        n_common.cast("long").alias("n_common"),
-        F.round(jac, 6).alias("jaccard"),
+        (F.col("n_light") + n_heavy).cast("long").alias("n_common"),
+        "n_a",
+        "n_b",
     )
-    return _with_cache(out.where(F.col("jaccard") >= JACCARD_THRESHOLD), sh)
+    return out, sh
+
+
+# Containment (near-superset) pairs: Jaccard under-reports when one doc
+# nearly contains another but is much larger (|A∩B|/|A∪B| is small even
+# at |A∩B| = |A|).  Containment c(A) = |A∩B|/|A| catches it — the
+# standard asymmetric-dup measure for quote/boilerplate/partial-copy
+# detection.  Same candidate machinery and exactness guarantees as
+# ngram_jaccard_pairs.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where either side's shingle containment >= threshold.
+
+    Output: doc_a, doc_b, n_common, cont_a, cont_b, max_cont.
+    """
+    j, sh = _pair_overlaps(spark, sf_dir)
+    cont_a = F.col("n_common") / F.col("n_a")
+    cont_b = F.col("n_common") / F.col("n_b")
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(cont_a, 6).alias("cont_a"),
+        F.round(cont_b, 6).alias("cont_b"),
+        F.round(F.greatest(cont_a, cont_b), 6).alias("max_cont"),
+    )
+    return _with_cache(
+        out.where(F.greatest(cont_a, cont_b) >= CONTAINMENT_THRESHOLD), sh
+    )
+
+
+def sql_containment_pairs() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + ",\n"
+        + SQL_SHINGLES_CTE.strip()
+        + f""",
+idx AS (
+    SELECT doc_id, shingle
+    FROM (SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+    WHERE df <= {SHINGLE_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM idx a JOIN idx b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT doc_a, doc_b, COUNT(*) AS n_common
+    FROM cand
+    JOIN sh a ON a.doc_id = doc_a
+    JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common / sa.n_sh, 6) AS cont_a,
+       ROUND(n_common / sb.n_sh, 6) AS cont_b,
+       ROUND(greatest(n_common / sa.n_sh, n_common / sb.n_sh), 6) AS max_cont
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(n_common / sa.n_sh, n_common / sb.n_sh) >= {CONTAINMENT_THRESHOLD}"""
+    )
 
 
 def sql_ngram_jaccard() -> str:

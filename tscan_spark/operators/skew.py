@@ -57,3 +57,24 @@ def repartition_range_docs(df: DataFrame, n: int | None = None) -> DataFrame:
     if "word_idx" in df.columns:
         cols.append(F.col("word_idx"))
     return df.repartitionByRange(*([n] if n else []), *cols)
+
+
+def salted_word_counts(spark, sf_dir: str) -> DataFrame:
+    """Registered witness for the salted two-stage aggregation: exact
+    per-word corpus counts computed through the skew path (identical
+    results to a plain groupBy — that's the oracle)."""
+    from tscan_spark import corpus
+
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    return salted_count(tok.select("word"), ["word"])
+
+
+def sql_salted_word_counts() -> str:
+    from tscan_spark import corpus
+
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word"""
+    )

@@ -264,6 +264,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(spark, sf_dir)
 
 
+@query("dedup_containment", oracle=dedup.sql_containment_pairs())
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset pairs: shingle containment >= 0.8 on
+    either side (catches partial copies Jaccard under-reports); same
+    light/heavy posting split + exact verification as the Jaccard
+    family."""
+    return dedup.containment_pairs(spark, sf_dir)
+
+
 @query("dedup_clusters", oracle=dedup.sql_dedup_clusters())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> keep-list closure: connected components over verified
@@ -449,6 +458,29 @@ def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (left-to-right non-overlapping replace, identical
     semantics both engines); symbol counts before/after."""
     return bpe.bpe_apply_merge(spark, sf_dir)
+
+
+@query("bpe_tokenize", oracle=bpe.sql_bpe_tokenize())
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply: replay the full learned merge table in rank
+    order (merge rows pivoted to one broadcast row; chained codegen
+    replaces)."""
+    return bpe.bpe_tokenize(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Skew machinery under the driver gate
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import skew  # noqa: E402
+
+
+@query("salted_word_counts", oracle=skew.sql_salted_word_counts())
+def q_salted_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation witness: per-word counts through
+    the skew path, provably identical to a plain groupBy (the
+    oracle)."""
+    return skew.salted_word_counts(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
