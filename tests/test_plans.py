@@ -1,0 +1,119 @@
+"""Physical-plan assertions: the scale properties the engine claims are
+checked against the optimized plans, not just prose.
+
+What 100 TB requires and what these tests pin:
+
+- predicate pushdown + column pruning reach the parquet scan
+  (PushedFilters / ReadSchema in the FileScan node);
+- lexicon-dimension joins broadcast (BroadcastHashJoin, never a
+  SortMergeJoin against a vocabulary-sized dim);
+- the flagship expression ladders run inside WholeStageCodegen spans;
+- co-located (bucketed) joins run WITHOUT a shuffle: two tables
+  bucketed on the join key produce a join with no Exchange above
+  either scan — the bucketing story for repeated doc_id joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tscan_spark import corpus, lexicons
+from tscan_spark.registry import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    docs = corpus.load(spark, SF_DIR, "documents")
+    q = docs.where(F.col("doc_id") > 100).select("doc_id", "source")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "GreaterThan(doc_id,100)" in plan, plan
+    # column pruning: the scan must read only the projected columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in rs and "source" in rs
+    assert "text" not in rs, rs
+
+
+def test_lexicon_join_broadcasts(spark):
+    docs = corpus.load(spark, SF_DIR, "documents")
+    tok = corpus.tokens_long(docs)
+    wf = lexicons.word_freq(docs)
+    j = tok.join(F.broadcast(wf), "word")
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_flagship_runs_in_codegen(spark):
+    df = QUERIES["tscan_doc_features"](spark, SF_DIR)
+    df.collect()  # AQE finalizes THIS df's physical plan on execution
+    # (count() would execute a different wrapped plan)
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    # "*(n)" prefixes mark WholeStageCodegen stages in the simple plan
+    assert "*(" in plan, plan
+    # the ladder is built-ins only: no Python row UDF node anywhere
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_annotation_ladder_has_no_python_udf(spark):
+    df = QUERIES["tscan_word_features"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_bucketed_join_runs_without_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on the join key join with zero Exchange —
+    the co-location strategy for repeated doc-keyed joins at scale."""
+    loc = tmp_path_factory.mktemp("buckets")
+    docs = corpus.load(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_a")
+    spark.sql("DROP TABLE IF EXISTS t_b")
+    (
+        docs.write.format("parquet")
+        .bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .option("path", str(loc / "a"))
+        .saveAsTable("t_a")
+    )
+    (
+        docs.selectExpr("doc_id", "n_chars AS n2")
+        .write.format("parquet")
+        .bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .option("path", str(loc / "b"))
+        .saveAsTable("t_b")
+    )
+    # disable broadcast so the planner must choose between a shuffled
+    # SMJ and the bucketed co-located join — it must pick the latter
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_a").join(spark.table("t_b"), "doc_id")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE t_a")
+        spark.sql("DROP TABLE t_b")
+
+
+def test_asof_join_prunes_lexicon_columns(spark):
+    """The as-of feature query must not read the documents text column
+    twice: its optimized plan projects only what the join needs."""
+    df = QUERIES["asof_lexicon_features_broadcast"](spark, SF_DIR)
+    # executes correctly AND stays on the broadcast strategy
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
