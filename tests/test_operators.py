@@ -834,3 +834,66 @@ def test_bpe_tokenize_roundtrip(spark):
 def test_salted_word_counts_matches_oracle(spark, oracle):
     df = QUERIES["salted_word_counts"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["salted_word_counts"])
+
+
+def test_incremental_features_matches_oracle(spark, oracle):
+    df = QUERIES["incremental_features"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["incremental_features"])
+
+
+def test_incremental_materialize_resume(spark, tmp_path):
+    """A job killed between derived-table commits resumes after the
+    last atomically-published manifest and converges to the batch
+    result — the snapshot-checkpoint recovery rule."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tscan_spark import corpus
+    from tscan_spark.operators import incremental
+    from tscan_spark.sources import snapshots
+
+    src = str(tmp_path / "src")
+    feat = str(tmp_path / "feat")
+    docs = corpus.load(spark, SF_DIR, "documents")
+    for k in range(1, 4):
+        snapshots.append_snapshot(
+            docs.where(F.col("doc_id") % 3 == k - 1), src, commit_ts=float(k)
+        )
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_after_first(sid: int) -> None:
+        raise Boom(f"killed after committing source snapshot {sid}")
+
+    with pytest.raises(Boom):
+        incremental.incremental_materialize(
+            spark, src, feat, incremental.doc_token_features,
+            on_commit=crash_after_first,
+        )
+    # exactly one derived commit survived, and it is the high-water mark
+    assert incremental.last_processed_source_id(feat) == 1
+    assert len(snapshots.snapshot_log(feat)) == 1
+
+    m = incremental.incremental_materialize(
+        spark, src, feat, incremental.doc_token_features
+    )
+    # resume skipped the committed delta and processed exactly the rest
+    assert m["skipped"] == 1 and m["processed"] == [2, 3]
+    # convergence: incremental result == batch over the full table
+    got = (
+        snapshots.read_snapshot(spark, feat)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = (
+        incremental.doc_token_features(docs)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.equals(exp)
+    # idempotence: nothing left to do
+    m2 = incremental.incremental_materialize(
+        spark, src, feat, incremental.doc_token_features
+    )
+    assert m2["processed"] == [] and m2["skipped"] == 3

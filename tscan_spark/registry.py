@@ -1483,3 +1483,53 @@ def q_doc_profile_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashlib.md5(sf_dir.encode()).hexdigest()[:12],
     )
     return _doc_profile_impl(spark, sf_dir, staging_dir=root)
+
+
+# ---------------------------------------------------------------------------
+# Drift monitoring & training-set construction (brief: LLM-pipeline ops)
+# ---------------------------------------------------------------------------
+
+from tscan_spark.operators import drift as _drift  # noqa: E402
+from tscan_spark.operators import training as _training  # noqa: E402
+
+
+@query("token_drift_kl", oracle=_drift.SQL_TOKEN_DRIFT_KL)
+def q_token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution
+    (drift monitor over the same unigram statistics the reference's
+    frequency ladder consumes, tscan.cxx:462-471)."""
+    return _drift.token_drift_kl(spark, sf_dir)
+
+
+@query("vocab_growth", oracle=_drift.SQL_VOCAB_GROWTH)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve per (source, arrival bucket):
+    new/cumulative type counts — source-saturation monitoring."""
+    return _drift.vocab_growth(spark, sf_dir)
+
+
+@query("training_order_shuffle", oracle=_training.SQL_TRAINING_ORDER_SHUFFLE)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: hash-keyed global permutation into
+    N_SHARDS training shards with stable in-shard positions."""
+    return _training.training_order_shuffle(spark, sf_dir)
+
+
+@query("quality_logreg", oracle=_training.sql_quality_logreg())
+def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality classifier trained in-engine by
+    K full-batch GD iterations (one model-sized aggregate per step);
+    the oracle replays the exact training trajectory via chained CTEs."""
+    return _training.quality_logreg(spark, sf_dir)
+
+
+from tscan_spark.operators import incremental as _incremental  # noqa: E402
+
+
+@query("incremental_features", oracle=_incremental.SQL_INCREMENTAL_FEATURES)
+def q_incremental_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental feature materialization over snapshot-table appends
+    (Iceberg incremental-scan analog): per-commit delta -> per-doc
+    features -> derived-table commit stamped with source_snapshot_id;
+    the oracle checks incremental == batch and per-delta row placement."""
+    return _incremental.incremental_features(spark, sf_dir)

@@ -62,8 +62,14 @@ def append_snapshot(
     df: DataFrame,
     table_dir: str,
     commit_ts: float | None = None,
+    extra: dict | None = None,
 ) -> dict:
-    """Commit ``df`` as a new immutable snapshot; returns the manifest."""
+    """Commit ``df`` as a new immutable snapshot; returns the manifest.
+
+    ``extra`` merges application metadata into the manifest (Iceberg's
+    snapshot summary properties) — e.g. the source snapshot id a derived
+    table was materialized from (operators/incremental.py).
+    """
     log = snapshot_log(table_dir)
     parent = log[-1]["snapshot_id"] if log else None
     snap_id = (parent or 0) + 1
@@ -77,6 +83,7 @@ def append_snapshot(
         "rows_added": rows,
         "paths_added": [data_path],
         "operation": "append",
+        **(extra or {}),
     }
     d = _manifest_dir(table_dir)
     os.makedirs(d, exist_ok=True)
@@ -107,6 +114,30 @@ def resolve_snapshot(
             raise KeyError(f"no snapshot at or before ts={as_of}")
         return eligible[-1]
     return log[-1]
+
+
+def read_snapshot_delta(
+    spark: SparkSession,
+    table_dir: str,
+    from_exclusive: int,
+    to_inclusive: int,
+) -> DataFrame:
+    """Incremental scan: rows ADDED by snapshots in (from, to].
+
+    Iceberg's incremental read (``start-snapshot-id``/``end-snapshot-id``)
+    — the primitive incremental materialization is built on: a consumer
+    that has processed up to snapshot ``from_exclusive`` reads exactly
+    the append deltas of the later commits, never a full-table rescan.
+    """
+    paths: list[str] = []
+    for m in snapshot_log(table_dir):
+        if from_exclusive < m["snapshot_id"] <= to_inclusive:
+            paths.extend(m["paths_added"])
+    if not paths:
+        raise KeyError(
+            f"no snapshots in ({from_exclusive}, {to_inclusive}] under {table_dir}"
+        )
+    return spark.read.parquet(*paths)
 
 
 def read_snapshot(
