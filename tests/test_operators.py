@@ -897,3 +897,35 @@ def test_incremental_materialize_resume(spark, tmp_path):
         spark, src, feat, incremental.doc_token_features
     )
     assert m2["processed"] == [] and m2["skipped"] == 3
+
+
+def test_select_token_budget_matches_oracle(spark, oracle):
+    df = QUERIES["select_token_budget"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["select_token_budget"])
+
+
+def test_select_token_budget_semantics(spark):
+    """Selection is a quality-ranked prefix per source and the
+    inclusive cumulative token count never exceeds the budget."""
+    from pyspark.sql import functions as F
+
+    from tscan_spark import corpus
+    from tscan_spark.operators import curation
+
+    sel = QUERIES["select_token_budget"](spark, SF_DIR).toPandas()
+    tok = corpus.tokens_long(corpus.load(spark, SF_DIR, "documents"))
+    totals = (
+        tok.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+        .toPandas().set_index("source")["tot"]
+    )
+    assert len(sel) > 0
+    for src, grp in sel.groupby("source"):
+        grp = grp.sort_values("rk")
+        # ranks form a contiguous prefix 1..k (no gaps: a cut doc would
+        # have to be higher-cum than every kept doc below it)
+        assert list(grp["rk"]) == list(range(1, len(grp) + 1))
+        # cumulative sums are consistent and within the budget
+        assert (grp["n_tok"].cumsum() == grp["cum_tok"]).all()
+        assert grp["cum_tok"].iloc[-1] <= int(
+            totals[src] * curation.BUDGET_FRAC
+        )

@@ -446,3 +446,119 @@ SELECT source,
        CAST(FLOOR(n_docs * ROUND(LEAST(1.0, target_w * t_max / n_docs), 6))
             AS BIGINT) AS expected_docs
 FROM t"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection (quality-ranked data selection under a budget)
+# ---------------------------------------------------------------------------
+#
+# The data-selection step (DSIR/DoReMi-adjacent): given a per-source
+# token budget, keep the highest-quality documents whose cumulative
+# token count fits. Here the budget is BUDGET_FRAC of each source's
+# total tokens (scale-free, deterministic); quality is the engine's
+# Gopher/C4-style component score (textstats.quality_score formula,
+# inlined with the source key kept).
+#
+# Physical plan: ONE token-grain hash aggregate to the doc grain, one
+# |sources|-row aggregate for the budgets (broadcast back), and a
+# cumulative window partitioned BY SOURCE — the sort is per-source,
+# never global. At 100 TB the exact rank is replaced by a two-pass
+# quantile cut: approx_quantile the score to the budget percentile per
+# source, filter score >= cut, and only rank the boundary stratum —
+# same selection, no large sort; the registered query keeps the exact
+# window because the oracle must replay it bit-for-bit.
+
+BUDGET_FRAC = 0.4
+
+
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-quality docs per source within a 40% token budget.
+
+    Columns: source, doc_id, n_tok, quality, cum_tok, rk (per-source
+    quality rank). A doc is kept when its INCLUSIVE cumulative token
+    count fits the budget (first over-budget doc is cut).
+    """
+    from tscan_spark.operators.textstats import STOP_LEMMATA
+
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    doc = tok.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("word")).alias("n_chars"),
+        F.sum(F.col("word").isin(STOP_LEMMATA).cast("int")).alias("n_stop"),
+        F.countDistinct("word").alias("n_uniq"),
+    )
+    avg_wlen = F.col("n_chars") / F.col("n_tok")
+    len_ok = ((F.col("n_tok") >= 20) & (F.col("n_tok") <= 200)).cast("int")
+    wlen_ok = ((avg_wlen >= 3.0) & (avg_wlen <= 10.0)).cast("int")
+    quality = F.round(
+        0.25 * len_ok
+        + 0.25 * wlen_ok
+        + 0.25 * (1.0 - F.col("n_stop") / F.col("n_tok"))
+        + 0.25 * (F.col("n_uniq") / F.col("n_tok")),
+        6,
+    )
+    doc = doc.withColumn("quality", quality)
+    wsrc = Window.partitionBy("source")
+    worder = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = doc.select(
+        "source",
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "quality",
+        F.sum("n_tok")
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_tok"),
+        F.row_number().over(worder).alias("rk"),
+        F.floor(F.sum("n_tok").over(wsrc) * F.lit(BUDGET_FRAC)).alias("budget"),
+    )
+    return (
+        ranked.where(F.col("cum_tok") <= F.col("budget"))
+        .select("source", "doc_id", "n_tok", "quality", "cum_tok", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+def sql_select_token_budget() -> str:
+    from tscan_spark.operators.textstats import STOP_LEMMATA
+
+    stop_lits = ", ".join(f"'{w}'" for w in STOP_LEMMATA)
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+d AS (
+    SELECT source, doc_id,
+           COUNT(*) AS n_tok,
+           SUM(length(word)) AS n_chars,
+           SUM(CASE WHEN word IN ({stop_lits}) THEN 1 ELSE 0 END) AS n_stop,
+           COUNT(DISTINCT word) AS n_uniq
+    FROM tok GROUP BY source, doc_id
+),
+q AS (
+    SELECT source, doc_id, n_tok,
+           ROUND(0.25 * (CASE WHEN n_tok >= 20 AND n_tok <= 200 THEN 1 ELSE 0 END)
+                 + 0.25 * (CASE WHEN n_chars * 1.0 / n_tok >= 3.0
+                                 AND n_chars * 1.0 / n_tok <= 10.0 THEN 1 ELSE 0 END)
+                 + 0.25 * (1.0 - n_stop * 1.0 / n_tok)
+                 + 0.25 * (n_uniq * 1.0 / n_tok), 6) AS quality
+    FROM d
+),
+r AS (
+    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok, quality,
+           CAST(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tok,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id) AS INT) AS rk,
+           FLOOR(SUM(n_tok) OVER (PARTITION BY source) * {BUDGET_FRAC})
+               AS budget
+    FROM q
+)
+SELECT source, doc_id, n_tok, quality, cum_tok, rk
+FROM r WHERE cum_tok <= budget
+ORDER BY source, rk"""
+    )

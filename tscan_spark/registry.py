@@ -1533,3 +1533,11 @@ def q_incremental_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     features -> derived-table commit stamped with source_snapshot_id;
     the oracle checks incremental == batch and per-delta row placement."""
     return _incremental.incremental_features(spark, sf_dir)
+
+
+@query("select_token_budget", oracle=curation.sql_select_token_budget())
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked data selection under a per-source token budget
+    (one doc-grain aggregate + a per-source cumulative window; the
+    100 TB variant cuts by approx-quantile instead of the exact rank)."""
+    return curation.select_token_budget(spark, sf_dir)
