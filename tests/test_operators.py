@@ -929,3 +929,38 @@ def test_select_token_budget_semantics(spark):
         assert grp["cum_tok"].iloc[-1] <= int(
             totals[src] * curation.BUDGET_FRAC
         )
+
+
+def test_source_overlap_matrix_matches_oracle(spark, oracle):
+    df = QUERIES["source_overlap_matrix"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["source_overlap_matrix"])
+
+
+def test_source_overlap_matrix_semantics(spark):
+    """Upper-triangular, jaccard in (0, 1], overlap bounded by the
+    smaller side."""
+    df = QUERIES["source_overlap_matrix"](spark, SF_DIR).toPandas()
+    assert len(df) > 0
+    assert (df["src_a"] < df["src_b"]).all()
+    assert (df["grams_both"] <= df[["grams_a", "grams_b"]].min(axis=1)).all()
+    assert ((df["jaccard"] > 0) & (df["jaccard"] <= 1)).all()
+
+
+def test_temperature_mix_rates_matches_oracle(spark, oracle):
+    df = QUERIES["temperature_mix_rates"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["temperature_mix_rates"])
+
+
+def test_temperature_mix_rates_semantics(spark):
+    """Temperature flattening upweights small sources; the binding
+    source samples at exactly 1.0; targets sum to 1."""
+    df = QUERIES["temperature_mix_rates"](spark, SF_DIR).toPandas()
+    assert abs(df["target_w"].sum() - 1.0) < 1e-3
+    assert (df["keep_rate"] <= 1.0).all() and (df["keep_rate"] > 0).all()
+    assert (df["keep_rate"] == 1.0).any()
+    # tau < 1: the smallest source's target share exceeds its raw share,
+    # the largest source's target share is below its raw share
+    smallest = df.loc[df["n_tok"].idxmin()]
+    largest = df.loc[df["n_tok"].idxmax()]
+    assert smallest["target_w"] > smallest["share"]
+    assert largest["target_w"] < largest["share"]

@@ -191,3 +191,52 @@ def test_streaming_dedup_ingest(spark, tmp_path):
         .count()
     )
     assert len(ids) == batch_distinct
+
+
+def test_streaming_snapshot_commits_incremental(spark, tmp_path):
+    """A file stream over the snapshot table's data directory consumes
+    each commit's delta exactly once across availableNow drains — the
+    streaming counterpart of incremental materialization (the stream
+    checkpoint is the high-water mark instead of the derived manifest
+    chain)."""
+    from pyspark.sql import functions as F
+
+    from tscan_spark import corpus
+    from tscan_spark.sources import snapshots
+
+    table = str(tmp_path / "snaptab")
+    docs = corpus.load(spark, SF_DIR, "documents")
+    snapshots.append_snapshot(docs.where(F.col("doc_id") % 3 == 0), table, 1.0)
+    snapshots.append_snapshot(docs.where(F.col("doc_id") % 3 == 1), table, 2.0)
+
+    datadir = f"{table}/data"
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(name: str) -> None:
+        sdf = (
+            spark.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(datadir)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("snapstream1")
+    n1 = spark.sql("SELECT SUM(n_docs) AS n FROM snapstream1").first()["n"]
+    assert n1 == docs.where(F.col("doc_id") % 3 != 2).count()
+
+    # a third commit lands; the resumed stream (same checkpoint) picks
+    # up exactly the new delta, converging on the full table
+    snapshots.append_snapshot(docs.where(F.col("doc_id") % 3 == 2), table, 3.0)
+    drain("snapstream2")
+    n2 = spark.sql("SELECT SUM(n_docs) AS n FROM snapstream2").first()["n"]
+    assert n2 == docs.count()

@@ -562,3 +562,192 @@ SELECT source, doc_id, n_tok, quality, cum_tok, rk
 FROM r WHERE cum_tok <= budget
 ORDER BY source, rk"""
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix
+# ---------------------------------------------------------------------------
+#
+# The corpus-audit counterpart of per-document decontamination: which
+# SOURCES share verbatim n-gram content (mirror sites, syndication,
+# cross-crawl duplication)? Output is the upper-triangular source x
+# source overlap matrix over distinct DECON_N-grams.
+#
+# Physical plan: one window-lead pass to distinct (source, gram_id) —
+# corpus-linear — then a gram-keyed self-join. Per gram the fan-out is
+# (k choose 2) where k <= |sources| is the gram's source posting size,
+# so the join output is bounded by |grams| x |sources|^2 with sources a
+# small constant (hundreds at web scale) — never doc-quadratic. The
+# per-source totals are |sources| rows, broadcast back. Pairs with zero
+# shared grams are absent by construction (inner join) — the matrix is
+# sparse on purpose.
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise n-gram Jaccard between sources.
+
+    Columns: src_a, src_b (src_a < src_b), grams_a, grams_b,
+    grams_both, jaccard (6 dp)."""
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("word_idx")
+    parts = [F.col("word")] + [
+        F.lead("word", i).over(w) for i in range(1, DECON_N)
+    ]
+    g = (
+        tok.select(
+            "source",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("source", corpus.content_hash_expr("gram").alias("gram_id"))
+        .distinct()
+    )
+    tot = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, "gram_id")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("grams_both"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("grams_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("grams_b"))
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "grams_a",
+            "grams_b",
+            "grams_both",
+            F.round(
+                F.col("grams_both")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("grams_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def sql_source_overlap_matrix() -> str:
+    leads = ",\n               ".join(
+        f"lead(word, {i}) OVER (PARTITION BY doc_id ORDER BY word_idx) AS w{i}"
+        for i in range(1, DECON_N)
+    )
+    concat = " || ' ' || ".join(["word"] + [f"w{i}" for i in range(1, DECON_N)])
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+g AS (
+    SELECT DISTINCT source, {corpus.sql_content_hash(f"({concat})")} AS gram_id
+    FROM (
+        SELECT source, doc_id, word,
+               {leads}
+        FROM tok
+    )
+    WHERE w{DECON_N - 1} IS NOT NULL
+),
+tot AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source
+),
+p AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS grams_both
+    FROM g a JOIN g b USING (gram_id)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b,
+       ta.n AS grams_a, tb.n AS grams_b, p.grams_both,
+       ROUND(p.grams_both * 1.0 / (ta.n + tb.n - p.grams_both), 6) AS jaccard
+FROM p
+JOIN tot ta ON p.src_a = ta.source
+JOIN tot tb ON p.src_b = tb.source
+ORDER BY p.src_a, p.src_b"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-flattened source sampling
+# ---------------------------------------------------------------------------
+#
+# The multilingual/multi-domain sampling convention (mT5/XLM-R): sample
+# sources proportionally to share^TAU, TAU < 1 flattening the head so
+# low-resource sources are upweighted. Emitted as per-source sampling
+# rates plus the expected token counts at the corpus' max feasible
+# size (same feasibility rule as domain_mix_rates: no source can be
+# sampled above 1.0). |sources|-row aggregate arithmetic end-to-end —
+# the corpus is touched once for token totals.
+
+MIX_TAU = 0.7
+
+
+def temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep rates realizing the share^TAU mixture.
+
+    Columns: source, n_tok, share, target_w, keep_rate, expected_tok."""
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    wall = Window.partitionBy()  # |sources| rows only
+    share = F.col("n_tok") / F.sum("n_tok").over(wall)
+    per_src = per_src.withColumn("share", share)
+    pw = F.pow(F.col("share"), F.lit(MIX_TAU))
+    per_src = per_src.withColumn("target_w", pw / F.sum(pw).over(wall))
+    per_src = per_src.withColumn(
+        "t_max", F.min(F.col("n_tok") / F.col("target_w")).over(wall)
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("target_w") * F.col("t_max") / F.col("n_tok")
+    )
+    return per_src.select(
+        "source",
+        "n_tok",
+        F.round("share", 6).alias("share"),
+        F.round("target_w", 6).alias("target_w"),
+        F.round(rate, 6).alias("keep_rate"),
+        F.floor(F.col("n_tok") * F.round(rate, 6)).cast("long").alias(
+            "expected_tok"
+        ),
+    ).orderBy("source")
+
+
+def sql_temperature_mix_rates() -> str:
+    return (
+        "WITH "
+        + corpus.SQL_TOK_CTE.strip()
+        + f""",
+per_src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY source
+),
+s AS (
+    SELECT source, n_tok,
+           n_tok * 1.0 / SUM(n_tok) OVER () AS share
+    FROM per_src
+),
+t AS (
+    SELECT source, n_tok, share,
+           POW(share, {MIX_TAU}) / SUM(POW(share, {MIX_TAU})) OVER () AS target_w
+    FROM s
+),
+m AS (
+    SELECT source, n_tok, share, target_w,
+           MIN(n_tok / target_w) OVER () AS t_max
+    FROM t
+)
+SELECT source, n_tok,
+       ROUND(share, 6) AS share,
+       ROUND(target_w, 6) AS target_w,
+       ROUND(LEAST(1.0, target_w * t_max / n_tok), 6) AS keep_rate,
+       CAST(FLOOR(n_tok * ROUND(LEAST(1.0, target_w * t_max / n_tok), 6))
+            AS BIGINT) AS expected_tok
+FROM m
+ORDER BY source"""
+    )

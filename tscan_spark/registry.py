@@ -1541,3 +1541,21 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one doc-grain aggregate + a per-source cumulative window; the
     100 TB variant cuts by approx-quantile instead of the exact rank)."""
     return curation.select_token_budget(spark, sf_dir)
+
+
+@query("source_overlap_matrix", oracle=curation.sql_source_overlap_matrix())
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: pairwise 8-gram Jaccard
+    between sources (gram-keyed self-join over the distinct
+    (source, gram) reduction — bounded by posting size, never
+    doc-quadratic)."""
+    return curation.source_overlap_matrix(spark, sf_dir)
+
+
+@query("temperature_mix_rates", oracle=curation.sql_temperature_mix_rates())
+def q_temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source sampling (share^0.7, mT5/XLM-R
+    convention): per-source keep rates + expected token counts at the
+    max feasible corpus size; |sources|-row arithmetic after one
+    token-total aggregate."""
+    return curation.temperature_mix_rates(spark, sf_dir)
