@@ -964,3 +964,22 @@ def test_temperature_mix_rates_semantics(spark):
     largest = df.loc[df["n_tok"].idxmax()]
     assert smallest["target_w"] > smallest["share"]
     assert largest["target_w"] < largest["share"]
+
+
+def test_dedup_keep_best_matches_oracle(spark, oracle):
+    df = QUERIES["dedup_keep_best"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["dedup_keep_best"])
+
+
+def test_dedup_keep_best_semantics(spark):
+    """Exactly one keeper per cluster, and it has the cluster's max
+    quality; cluster assignment agrees with dedup_clusters."""
+    best = QUERIES["dedup_keep_best"](spark, SF_DIR).toPandas()
+    base = QUERIES["dedup_clusters"](spark, SF_DIR).toPandas()
+    assert dict(zip(best["doc_id"], best["cluster_id"])) == dict(
+        zip(base["doc_id"], base["cluster_id"])
+    )
+    g = best.groupby("cluster_id")
+    assert (g["is_keeper"].sum() == 1).all()
+    keepers = best[best["is_keeper"]].set_index("cluster_id")["quality"]
+    assert (g["quality"].max() == keepers.loc[g["quality"].max().index]).all()

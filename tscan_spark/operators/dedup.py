@@ -848,11 +848,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
+    # per-round localCheckpoint, NOT persist: persist caches the data
+    # but leaves the logical plan intact, so round k's plan embeds
+    # round k-1's — Catalyst analysis grows exponentially with rounds
+    # and the loop stalls once the graph's diameter needs >~10 rounds
+    # (observed: sf0.1 hung in analysis while sf0.001 converged).
+    # localCheckpoint truncates the plan to a LogicalRDD each round;
+    # a multi-executor deployment swaps in reliable checkpoint(dir)
+    # (same call shape) so rounds survive executor loss.
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = None
     for _ in range(CC_MAX_ROUNDS):
@@ -869,10 +877,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         s = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if s == prev_sum:
             break
@@ -893,7 +900,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-def sql_dedup_clusters() -> str:
+def _sql_cluster_ctes() -> str:
+    """Shared CTE chain through ``assigned`` (doc_id -> cluster_id);
+    finals of dedup_clusters / dedup_keep_best compose on top."""
     mask = (1 << SIMHASH_BAND_BITS) - 1
     return (
         "WITH RECURSIVE "
@@ -928,9 +937,90 @@ assigned AS (
     SELECT d.doc_id,
            CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
     FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
-)
+)"""
+    )
+
+
+def sql_dedup_clusters() -> str:
+    return (
+        _sql_cluster_ctes()
+        + """
 SELECT doc_id, cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        doc_id = cluster_id AS is_keeper
 FROM assigned"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-aware cluster resolution (keep the best representative)
+# ---------------------------------------------------------------------------
+#
+# Production keep policies rarely want "lowest doc_id": the standard
+# rule is "keep the highest-QUALITY member of each near-dup cluster".
+# Same cluster machinery; the keeper is the argmax of the engine's
+# Gopher/C4 quality score (deterministic doc_id tiebreak). The quality
+# join is doc-grain on doc_id (co-partitioned with the cluster frame);
+# the keeper window partitions by cluster_id — cluster-bounded, never
+# corpus-wide.
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment with the quality-argmax keep policy.
+
+    Columns: doc_id, cluster_id, cluster_size, quality, is_keeper."""
+    from tscan_spark.operators.textstats import quality_score
+
+    clusters = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "quality",
+            (F.row_number().over(w) == 1).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_dedup_keep_best() -> str:
+    from tscan_spark.operators.textstats import STOP_LEMMATA
+
+    stop_lits = ", ".join(f"'{w}'" for w in STOP_LEMMATA)
+    return (
+        _sql_cluster_ctes()
+        + f""",
+qd AS (
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           SUM(length(word)) AS n_chars,
+           SUM(CASE WHEN word IN ({stop_lits}) THEN 1 ELSE 0 END) AS n_stop,
+           COUNT(DISTINCT word) AS n_uniq
+    FROM tok GROUP BY doc_id
+),
+q AS (
+    SELECT doc_id,
+           ROUND(0.25 * (CASE WHEN n_tok >= 20 AND n_tok <= 200 THEN 1 ELSE 0 END)
+                 + 0.25 * (CASE WHEN n_chars * 1.0 / n_tok >= 3.0
+                                 AND n_chars * 1.0 / n_tok <= 10.0 THEN 1 ELSE 0 END)
+                 + 0.25 * (1.0 - n_stop * 1.0 / n_tok)
+                 + 0.25 * (n_uniq * 1.0 / n_tok), 6) AS quality
+    FROM qd
+)
+SELECT a.doc_id, a.cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY a.cluster_id) AS BIGINT) AS cluster_size,
+       q.quality,
+       ROW_NUMBER() OVER (
+           PARTITION BY a.cluster_id ORDER BY q.quality DESC, a.doc_id) = 1
+           AS is_keeper
+FROM assigned a JOIN q ON q.doc_id = a.doc_id
+ORDER BY a.doc_id"""
     )

@@ -1559,3 +1559,11 @@ def q_temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     max feasible corpus size; |sources|-row arithmetic after one
     token-total aggregate."""
     return curation.temperature_mix_rates(spark, sf_dir)
+
+
+@query("dedup_keep_best", oracle=dedup.sql_dedup_keep_best())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution with the production keep policy:
+    keep each cluster's highest-quality member (Gopher/C4 score,
+    doc_id tiebreak) instead of the lowest doc_id."""
+    return dedup.dedup_keep_best(spark, sf_dir)
