@@ -983,3 +983,19 @@ def test_dedup_keep_best_semantics(spark):
     assert (g["is_keeper"].sum() == 1).all()
     keepers = best[best["is_keeper"]].set_index("cluster_id")["quality"]
     assert (g["quality"].max() == keepers.loc[g["quality"].max().index]).all()
+
+
+def test_dedup_incremental_matches_oracle(spark, oracle):
+    df = QUERIES["dedup_incremental"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["dedup_incremental"])
+
+
+def test_dedup_incremental_semantics(spark):
+    """Exactly one is_new holder per fingerprint, and it is the
+    earliest (commit, doc_id); collisions actually occur in the data."""
+    df = QUERIES["dedup_incremental"](spark, SF_DIR).toPandas()
+    g = df.groupby("fp")
+    assert (g["is_new"].sum() == 1).all()
+    assert (~df["is_new"]).sum() > 0  # the dup path is really exercised
+    firsts = df.sort_values(["src_snapshot", "doc_id"]).groupby("fp").head(1)
+    assert firsts["is_new"].all()

@@ -166,3 +166,105 @@ FROM tok
 GROUP BY doc_id
 ORDER BY doc_id"""
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-snapshot dedup (new commits vs the accumulated index)
+# ---------------------------------------------------------------------------
+#
+# The production ingest rule: every new crawl commit is deduplicated
+# against everything ALREADY ingested before it lands in the training
+# corpus. The dedup index (fingerprint -> first owner) is itself
+# derived state maintained commit-by-commit — the incremental shape
+# again, applied to dedup instead of features. The key here is the
+# first-FP_TOKENS-token prefix fingerprint (the boilerplate-dedup
+# convention; the synthetic corpus has no exact-text duplicates but 24
+# prefix collisions at sf0.001, so the path is exercised for real).
+#
+# Physical plan per commit: O(delta) fingerprint projection; one
+# hash-join of the delta against the index on the fingerprint key (at
+# scale the index is a bucketed table on fp, making this join
+# shuffle-free on the index side); one delta-local window for
+# within-commit firsts; index grows by the commit's new fingerprints
+# (localCheckpoint per commit keeps the loop's plan constant-size —
+# same lesson as the CC loop in dedup.py).
+
+FP_TOKENS = 8
+
+
+def _fingerprint_expr():
+    return F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, FP_TOKENS))
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-commit demo: dedupe each commit's delta against the index.
+
+    Columns: doc_id, src_snapshot, fp, is_new (first holder of the
+    fingerprint across commit order, doc_id tiebreak within a commit).
+    The oracle replays the whole history as one batch window — the
+    incremental == batch equivalence for the dedup index."""
+    import os
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_dir = f"/tmp/tscan_incrdd_src_{tag}"
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+    docs = corpus.load(spark, sf_dir, "documents")
+    n = snapshots.N_DEMO_COMMITS
+    for k in range(1, n + 1):
+        snapshots.append_snapshot(
+            docs.where(F.col("doc_id") % n == k - 1), src_dir, commit_ts=float(k)
+        )
+
+    from pyspark.sql import Window
+
+    index = None  # (fp) fingerprints already owned by earlier commits
+    outs = []
+    for m in snapshots.snapshot_log(src_dir):
+        sid = m["snapshot_id"]
+        delta = snapshots.read_snapshot_delta(spark, src_dir, sid - 1, sid)
+        local = delta.select(
+            "doc_id", _fingerprint_expr().alias("fp")
+        ).withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        if index is None:
+            joined = local.withColumn("known", F.lit(False))
+        else:
+            joined = local.join(
+                index.withColumn("known", F.lit(True)), "fp", "left"
+            ).withColumn("known", F.coalesce("known", F.lit(False)))
+        out_k = joined.select(
+            "doc_id",
+            F.lit(sid).cast("int").alias("src_snapshot"),
+            "fp",
+            ((~F.col("known")) & (F.col("rk") == 1)).alias("is_new"),
+        )
+        outs.append(out_k)
+        fresh = joined.where((~F.col("known")) & (F.col("rk") == 1)).select("fp")
+        index = (
+            fresh if index is None else index.unionByName(fresh)
+        ).localCheckpoint()
+
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("doc_id")
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH h AS (
+    SELECT doc_id,
+           CAST(doc_id % {snapshots.N_DEMO_COMMITS} + 1 AS INT) AS src_snapshot,
+           md5(array_to_string(string_split(text, ' ')[1:{FP_TOKENS}], ' ')) AS fp
+    FROM documents
+)
+SELECT doc_id, src_snapshot, fp,
+       ROW_NUMBER() OVER (
+           PARTITION BY fp ORDER BY src_snapshot, doc_id) = 1 AS is_new
+FROM h
+ORDER BY doc_id"""

@@ -1567,3 +1567,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep each cluster's highest-quality member (Gopher/C4 score,
     doc_id tiebreak) instead of the lowest doc_id."""
     return dedup.dedup_keep_best(spark, sf_dir)
+
+
+@query("dedup_incremental", oracle=_incremental.SQL_DEDUP_INCREMENTAL)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: each snapshot commit's delta is deduplicated
+    against the accumulated fingerprint index (prefix-fingerprint key);
+    the oracle replays the whole commit history as one batch window —
+    incremental == batch for the dedup index."""
+    return _incremental.dedup_incremental(spark, sf_dir)
