@@ -999,3 +999,63 @@ def test_dedup_incremental_semantics(spark):
     assert (~df["is_new"]).sum() > 0  # the dup path is really exercised
     firsts = df.sort_values(["src_snapshot", "doc_id"]).groupby("fp").head(1)
     assert firsts["is_new"].all()
+
+
+def test_kmeans_clusters_matches_oracle(spark, oracle):
+    df = QUERIES["kmeans_clusters"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["kmeans_clusters"])
+
+
+def test_kmeans_clusters_semantics(spark):
+    """Independent numpy replay of the whole Lloyd trajectory (a third
+    engine besides Spark and DuckDB): same first-K init, FP12 distance
+    fold, cluster tie-break, FP9 centroid fold — must reproduce the
+    final (vec_id, cluster, dist_fp) exactly."""
+    import numpy as np
+
+    from tscan_spark import corpus
+    from tscan_spark.operators.clustering import FP12, KMEANS_ITERS, KMEANS_K
+
+    df = (
+        QUERIES["kmeans_clusters"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    emb = (
+        corpus.load(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert df["vec_id"].is_unique and len(df) == len(emb)
+    assert df["cluster"].nunique() > 1
+    FP9 = 1_000_000_000
+    X = np.stack([np.asarray(e, dtype=float) for e in emb["embedding"]])
+    cents = X[:KMEANS_K].copy()  # emb sorted by vec_id -> first-K init
+    labels = list(range(KMEANS_K))  # surviving cluster ids, ascending
+
+    def rnd(v, d=0):
+        # Spark/DuckDB ROUND = half away from zero; np.round = half-even
+        s = 10.0**d
+        return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+
+    def assign(c):
+        d = X[:, None, :] - c[None, :, :]
+        return rnd(d * d * FP12).astype("int64").sum(axis=2)
+
+    for _ in range(KMEANS_ITERS):
+        # argmin ties break to the lowest surviving cluster id (labels
+        # stay ascending), matching the engines' ORDER BY dist, cluster
+        a = np.asarray(labels)[assign(cents).argmin(axis=1)]
+        labels = sorted(set(a))  # emptied clusters drop, ids preserved
+        cents = np.stack(
+            [
+                rnd(rnd(X[a == c] * FP9).sum(axis=0) / FP9 / (a == c).sum(), 9)
+                for c in labels
+            ]
+        )
+    dist = assign(cents)
+    rows = dist.argmin(axis=1)
+    a = np.asarray(labels)[rows]
+    assert (df["cluster"].to_numpy() == a).all()
+    assert (df["dist_fp"].to_numpy() == dist[np.arange(len(X)), rows]).all()

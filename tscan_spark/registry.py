@@ -1576,3 +1576,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the whole commit history as one batch window —
     incremental == batch for the dedup index."""
     return _incremental.dedup_incremental(spark, sf_dir)
+
+
+from tscan_spark.operators import clustering  # noqa: E402
+
+
+@query("kmeans_clusters", oracle=clustering.SQL_KMEANS_CLUSTERS)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding column: Lloyd iterations
+    as two hash aggregates per round over the exploded grain, model
+    state driver-side as literals (no lineage growth), fixed-point
+    trajectory replayed end-to-end by the chained-CTE oracle."""
+    return clustering.kmeans_clusters(spark, sf_dir)
