@@ -1059,3 +1059,49 @@ def test_kmeans_clusters_semantics(spark):
     a = np.asarray(labels)[rows]
     assert (df["cluster"].to_numpy() == a).all()
     assert (df["dist_fp"].to_numpy() == dist[np.arange(len(X)), rows]).all()
+
+
+def test_bm25_scores_matches_oracle(spark, oracle):
+    df = QUERIES["bm25_scores"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["bm25_scores"])
+
+
+def test_bm25_scores_semantics(spark):
+    """Scores are positive, n_hits bounded by the query size, coverage
+    equals the set of docs containing at least one query term, and a
+    pandas recomputation of BM25 agrees to 1e-9."""
+    import math
+
+    from tscan_spark import corpus
+    from tscan_spark.operators.ranking import BM25_B, BM25_K1, N_QUERY_TERMS
+
+    df = QUERIES["bm25_scores"](spark, SF_DIR).toPandas()
+    tok = (
+        corpus.tokens_long(corpus.load(spark, SF_DIR, "documents"))
+        .select("doc_id", "word")
+        .toPandas()
+    )
+    tf = tok.groupby(["doc_id", "word"]).size().rename("tf").reset_index()
+    dl = tf.groupby("doc_id")["tf"].sum()
+    n_docs, avgdl = len(dl), dl.sum() / len(dl)
+    by_word = tf.groupby("word").agg(df_=("doc_id", "size"), cnt=("tf", "sum"))
+    q = by_word.sort_values(["cnt", "word"], ascending=[False, True]).head(
+        N_QUERY_TERMS
+    )
+    assert (df["bm25"] > 0).all()
+    assert df["n_hits"].between(1, N_QUERY_TERMS).all()
+    want = set(tf[tf["word"].isin(q.index)]["doc_id"])
+    assert set(df["doc_id"]) == want
+    idf = {
+        w: math.log((n_docs - r.df_ + 0.5) / (r.df_ + 0.5) + 1.0)
+        for w, r in q.iterrows()
+    }
+    hit = tf[tf["word"].isin(q.index)]
+    for doc_id, grp in hit.groupby("doc_id"):
+        norm = BM25_K1 * (1 - BM25_B + BM25_B * dl[doc_id] / avgdl)
+        score = sum(
+            idf[r.word] * r.tf * (BM25_K1 + 1) / (r.tf + norm)
+            for r in grp.itertuples()
+        )
+        got = float(df.loc[df["doc_id"] == doc_id, "bm25"].iloc[0])
+        assert abs(got - score) < 1e-8, (doc_id, got, score)

@@ -1,0 +1,127 @@
+"""BM25 relevance ranking over the tokenized corpus.
+
+The reference ranks words against frequency lexicons (freqLog bands,
+tscan.cxx:462-471) but has no document-relevance scorer; a training-data
+pipeline needs one (quality-weighted retrieval, dedup tie-breaking,
+contamination triage).  This is Robertson/Sparck-Jones BM25 (k1=1.2,
+b=0.75) with the query itself derived from the corpus — the top-3 global
+tokens — so the registered query is fully self-contained and the DuckDB
+oracle replays every step including query-term selection.
+
+Plan shape (the part that matters at 100 TB):
+
+- ONE corpus-sized aggregate: token grain -> tf(doc_id, word).  Every
+  other frame is a reduction of tf: dl = sum(tf) per doc (doc grain),
+  df and global counts per word (vocabulary grain), corpus totals
+  (1 row).  The raw token grain is never re-scanned.
+- Query-term selection is a vocabulary-grain top-k (ORDER BY ... LIMIT
+  pushes a per-partition TakeOrdered, no global sort of the vocab).
+- Scoring FILTERS FIRST: tf semi-joins the 3-row broadcast query
+  dimension before touching doc lengths, so the dl join runs over
+  |docs containing a query term| rows, not the full tf.  The totals
+  frame is a 1-row broadcast cross join.
+- All constants are explicit DOUBLE on both engines (DuckDB parses bare
+  `1.2` as DECIMAL, whose arithmetic rounds differently — every literal
+  in the oracle is ::DOUBLE).
+
+Output: (doc_id, n_hits, bm25) for every document containing at least
+one query term, bm25 rounded to 9 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscan_spark import corpus
+from tscan_spark.cache import with_cache as _with_cache
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+N_QUERY_TERMS = 3
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.load(spark, sf_dir, "documents")
+    tok = corpus.tokens_long(docs).select("doc_id", "word")
+
+    # every downstream frame (dl, df, query terms, totals, scoring) is
+    # a reduction of tf — persist it under the cache contract so the
+    # corpus is scanned ONCE (without it the plan rescans documents
+    # ~5x, once per branch; at 100 TB this persist is the staging-table
+    # materialization, cache.py module docstring)
+    tf = (
+        tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    by_word = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cnt")
+    )
+    qterms = by_word.orderBy(F.desc("cnt"), "word").limit(N_QUERY_TERMS)
+    qdim = qterms.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    hits = tf.join(F.broadcast(qdim), "word").join(dl, "doc_id").crossJoin(
+        F.broadcast(tot)
+    )
+    term_score = F.col("idf") * (
+        F.col("tf") * (k1 + F.lit(1.0))
+        / (
+            F.col("tf")
+            + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    out = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_hits"),
+            F.round(F.sum(term_score), 9).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )
+    return _with_cache(out, tf)
+
+
+SQL_BM25_SCORES = f"""
+WITH {corpus.SQL_TOK_CTE},
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+tot AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+by_word AS (
+    SELECT word, COUNT(*) AS df, SUM(tf) AS cnt FROM tf GROUP BY 1
+),
+q AS (SELECT word, df FROM by_word ORDER BY cnt DESC, word LIMIT {N_QUERY_TERMS}),
+qd AS (
+    SELECT word,
+           ln((n_docs - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
+    FROM q CROSS JOIN tot
+)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS INT) AS n_hits,
+       ROUND(SUM(qd.idf * (tf.tf * (CAST({BM25_K1} AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 / (tf.tf + CAST({BM25_K1} AS DOUBLE)
+                    * (CAST(1.0 AS DOUBLE) - CAST({BM25_B} AS DOUBLE)
+                       + CAST({BM25_B} AS DOUBLE) * dl.dl / tot.avgdl)))), 9) AS bm25
+FROM tf
+JOIN qd USING (word)
+JOIN dl USING (doc_id)
+CROSS JOIN tot
+GROUP BY tf.doc_id
+ORDER BY doc_id
+"""

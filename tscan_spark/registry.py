@@ -1588,3 +1588,15 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     state driver-side as literals (no lineage growth), fixed-point
     trajectory replayed end-to-end by the chained-CTE oracle."""
     return clustering.kmeans_clusters(spark, sf_dir)
+
+
+from tscan_spark.operators import ranking as _ranking  # noqa: E402
+
+
+@query("bm25_scores", oracle=_ranking.SQL_BM25_SCORES)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance over the corpus with corpus-derived query terms
+    (top-3 global tokens): one token-grain aggregate, everything else
+    vocabulary/doc-grain reductions; scoring semi-joins the 3-row
+    broadcast query dimension before touching doc lengths."""
+    return _ranking.bm25_scores(spark, sf_dir)
