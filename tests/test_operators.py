@@ -1105,3 +1105,114 @@ def test_bm25_scores_semantics(spark):
         )
         got = float(df.loc[df["doc_id"] == doc_id, "bm25"].iloc[0])
         assert abs(got - score) < 1e-8, (doc_id, got, score)
+
+
+def test_tfidf_keywords_matches_oracle(spark, oracle):
+    df = QUERIES["tfidf_keywords"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["tfidf_keywords"])
+
+
+def test_tfidf_keywords_semantics(spark):
+    """Exactly top-k rows per doc, rank dense from 1, and the tfidf
+    value recomputes from pandas tf/df to 1e-9."""
+    import math
+
+    from tscan_spark import corpus
+    from tscan_spark.operators.ranking import TFIDF_TOP_K
+
+    df = QUERIES["tfidf_keywords"](spark, SF_DIR).toPandas()
+    tok = (
+        corpus.tokens_long(corpus.load(spark, SF_DIR, "documents"))
+        .select("doc_id", "word")
+        .toPandas()
+    )
+    tf = tok.groupby(["doc_id", "word"]).size().rename("tf").reset_index()
+    n_docs = tok["doc_id"].nunique()
+    dfreq = tf.groupby("word")["doc_id"].size()
+    per_doc = df.groupby("doc_id")["rank"].agg(["min", "max", "size"])
+    assert (per_doc["min"] == 1).all()
+    assert (per_doc["max"] == per_doc["size"]).all()
+    assert (per_doc["size"] <= TFIDF_TOP_K).all()
+    for r in df.itertuples():
+        tf_val = int(
+            tf[(tf["doc_id"] == r.doc_id) & (tf["word"] == r.word)]["tf"].iloc[0]
+        )
+        assert tf_val == r.tf
+        want = tf_val * math.log(n_docs / dfreq[r.word])
+        assert abs(r.tfidf - want) < 1e-8
+
+
+def test_dsir_importance_semantics(spark, oracle):
+    """Oracle match + the point of DSIR: target-domain docs score
+    higher on average than the raw mix, and a full pandas
+    recomputation of one doc's weight agrees."""
+    import math
+
+    import pandas as pd
+
+    from tscan_spark import corpus
+    from tscan_spark.operators.weighting import N_BUCKETS, TARGET_SOURCE
+
+    out = QUERIES["dsir_importance"](spark, SF_DIR)
+    assert_matches_oracle(out, oracle, ORACLES["dsir_importance"])
+    df = out.toPandas()
+    tok = (
+        corpus.tokens_long(corpus.load(spark, SF_DIR, "documents"))
+        .select("doc_id", "source", "word_idx", "word")
+        .toPandas()
+        .sort_values(["doc_id", "word_idx"])
+    )
+
+    def h(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 131 + ord(ch)) % 2147483647
+        return acc % N_BUCKETS
+
+    rows = []
+    for doc_id, grp in tok.groupby("doc_id"):
+        ws = grp["word"].tolist()
+        src = grp["source"].iloc[0]
+        feats = [h(w) for w in ws] + [
+            h(a + " " + b) for a, b in zip(ws, ws[1:])
+        ]
+        rows.append((doc_id, src, feats))
+    cnt_raw: dict = {}
+    cnt_tgt: dict = {}
+    for _, src, feats in rows:
+        for b in feats:
+            cnt_raw[b] = cnt_raw.get(b, 0) + 1
+            if src == TARGET_SOURCE:
+                cnt_tgt[b] = cnt_tgt.get(b, 0) + 1
+    tot_raw = sum(cnt_raw.values())
+    tot_tgt = sum(cnt_tgt.values())
+    lam = {
+        b: math.log(
+            ((cnt_tgt.get(b, 0) + 1.0) / (tot_tgt + N_BUCKETS))
+            / ((cnt_raw[b] + 1.0) / (tot_raw + N_BUCKETS))
+        )
+        for b in cnt_raw
+    }
+    want = pd.DataFrame(
+        {
+            "doc_id": [d for d, _, _ in rows],
+            "src": [s for _, s, _ in rows],
+            "logw": [sum(lam[b] for b in f) for _, _, f in rows],
+        }
+    )
+    merged = df.merge(want, on="doc_id")
+    assert (merged["n_feat"] == [len(f) for _, _, f in rows]).all()
+    assert (abs(merged["dsir_logw"] - merged["logw"]) < 1e-7).all()
+    m_tgt = merged[merged["src"] == TARGET_SOURCE]["dsir_logw"].mean()
+    assert m_tgt > merged["dsir_logw"].mean()
+
+
+def test_zipf_fit_semantics(spark, oracle):
+    """Oracle match + slope negative (frequency falls with rank) and
+    r2 in (0, 1] for every source."""
+    out = QUERIES["zipf_fit"](spark, SF_DIR)
+    assert_matches_oracle(out, oracle, ORACLES["zipf_fit"])
+    df = out.toPandas()
+    assert (df["zipf_slope"] < 0).all()
+    assert df["zipf_r2"].between(0, 1).all()
+    assert (df["n_vocab"] > 0).all()

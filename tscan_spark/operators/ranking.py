@@ -125,3 +125,94 @@ CROSS JOIN tot
 GROUP BY tf.doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (per-document top-k)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k keywords per document by TF-IDF.
+
+    Complements :func:`bm25_scores` (query -> docs) with the inverse
+    direction (doc -> terms): the reference ranks words only against
+    static frequency lexicons (freqLog bands, tscan.cxx:462-471); a
+    training-data pipeline wants per-document salient terms for topic
+    tagging, near-dup triage and index keys.
+
+    Plan shape:
+
+    - the same single token-grain aggregate as BM25 (tf), persisted
+      under the cache contract for its two consumers (df counts and
+      scoring);
+    - df/idf live at VOCABULARY grain (tiny, broadcast into the
+      scoring join);
+    - the top-k is a window partitioned BY doc_id — hash-partitioned,
+      no global sort, scales with documents.
+
+    The rank ordering is integer-deterministic on purpose: (tf DESC,
+    df ASC, word ASC).  tf*idf is monotone in tf and antitone in df,
+    so for a fixed document this agrees with the float ordering except
+    where two terms tie on BOTH counts — where the float scores are
+    exactly equal and the word breaks the tie.  Ordering by the float
+    itself would make rank assignment depend on cross-engine ULP
+    differences in ln().
+    """
+    docs = corpus.load(spark, sf_dir, "documents")
+    tok = corpus.tokens_long(docs).select("doc_id", "word")
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tot = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    by_word = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(by_word.crossJoin(F.broadcast(tot))), "word")
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("word")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            F.col("tf").cast("int").alias("tf"),
+            F.round("tfidf", 9).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+    return _with_cache(out, tf)
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH {{tok_cte}},
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+by_word AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf, by_word.df,
+           tf.tf * ln(CAST(tot.n_docs AS DOUBLE) / CAST(by_word.df AS DOUBLE))
+               AS tfidf,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, by_word.df ASC, tf.word ASC
+           ) AS rank
+    FROM tf JOIN by_word USING (word) CROSS JOIN tot
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, word,
+       CAST(tf AS INT) AS tf, ROUND(tfidf, 9) AS tfidf
+FROM scored
+WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+SQL_TFIDF_KEYWORDS = SQL_TFIDF_KEYWORDS.format(tok_cte=corpus.SQL_TOK_CTE)

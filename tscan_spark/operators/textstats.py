@@ -477,3 +477,75 @@ SELECT doc_id,
                '{phone}', '<PHONE>', 'g'),
            '{ip}', '<IP>', 'g') AS redacted
 FROM base"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit per source (corpus-health diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent via OLS on log-rank/log-frequency.
+
+    A standard corpus-health diagnostic for web-scale pipelines: natural
+    text follows freq ~ rank^(-s) with s near 1; machine-generated or
+    template-heavy sources flatten (|slope| small) or over-steepen.  The
+    reference's frequency machinery is lexicon-relative only
+    (freqLog bands, tscan.cxx:462-471); this measures the corpus's OWN
+    frequency law per source.
+
+    Plan shape: one (source, word) hash aggregate over the token grain,
+    then a window partitioned BY SOURCE for ranks (each partition is a
+    source's vocabulary — bounded by vocab size, not corpus size), then
+    ``regr_slope``/``regr_r2`` built-ins (map-side-combinable moment
+    aggregates).  No corpus-grain shuffle beyond the first aggregate;
+    no persist needed (single linear pipeline).
+
+    Ties in cnt are broken by word ASC so rank assignment is
+    integer-deterministic across engines; the regression consumes
+    identical (x, y) sets either way.  Slope/r2 rounded to 7 dp —
+    moment sums accumulate in different orders on the two engines.
+    """
+    from pyspark.sql.window import Window
+
+    tok = _tok(spark, sf_dir).select("source", "word")
+    cnt = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = cnt.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vocab"),
+            F.round(
+                F.regr_slope(F.log(F.col("cnt").cast("double")),
+                             F.log(F.col("rank").cast("double"))), 7
+            ).alias("zipf_slope"),
+            F.round(
+                F.regr_r2(F.log(F.col("cnt").cast("double")),
+                          F.log(F.col("rank").cast("double"))), 7
+            ).alias("zipf_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_ZIPF_FIT = """
+WITH {tok_cte},
+cnt AS (SELECT source, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+ranked AS (
+    SELECT source, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY cnt DESC, word ASC) AS rank
+    FROM cnt
+)
+SELECT source,
+       CAST(COUNT(*) AS INT) AS n_vocab,
+       ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 7)
+           AS zipf_slope,
+       ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 7)
+           AS zipf_r2
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+SQL_ZIPF_FIT = SQL_ZIPF_FIT.format(tok_cte=corpus.SQL_TOK_CTE)

@@ -1,0 +1,146 @@
+"""DSIR-style importance weighting over hashed n-gram features.
+
+Data Selection via Importance Resampling (Xie et al., 2023, public
+arXiv 2302.03169): score every raw document by the log-likelihood
+ratio of a TARGET domain's hashed n-gram distribution vs the RAW
+corpus distribution; resampling by these weights shifts the corpus
+mix toward the target domain.  The reference has per-word frequency
+bands against static lexicons (freqLog, tscan.cxx:462-471) but no
+corpus-vs-target reweighting; at 100 TB this is the standard tool for
+"make the web crawl look like Wikipedia".
+
+Feature space: hashed unigrams + bigrams, ``content_hash(gram) %
+N_BUCKETS`` — the hash is the engine's portable polynomial
+(corpus.content_hash_expr), so the DuckDB oracle replays bucket
+assignment bit-for-bit.  The target domain is ``source = 'src0'``
+(the synthetic corpus's analog of "the high-quality slice").
+
+Plan shape (the part that matters at 100 TB):
+
+- ONE corpus-sized frame: the hashed feature grain (doc_id, source,
+  bucket) — a narrow explode + per-row hash + one window (lead() for
+  bigrams, partitioned by doc_id: hash-partitioned, no global sort).
+  Persisted under the cache contract for its two consumers; at scale
+  this persist is the staging-table materialization (cache.py).
+- Both distributions come from ONE pass over that grain: a single
+  N_BUCKETS-row aggregate computes cnt_raw and cnt_target together
+  (count + conditional count), so the target subset is never
+  rescanned.
+- The log-ratio dimension is N_BUCKETS rows — broadcast into the
+  scoring join; totals ride a 1-row cross join.
+- Laplace (+1) smoothing on both numerator and denominator keeps
+  every bucket finite without branching.
+
+Output: (doc_id, n_feat, dsir_logw) for every document, logw rounded
+to 9 dp.  Positive logw = looks more like the target domain than the
+raw mix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tscan_spark import corpus
+from tscan_spark.cache import with_cache as _with_cache
+
+N_BUCKETS = 512
+TARGET_SOURCE = "src0"
+
+
+def _feature_grain(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) — one row per unigram and per bigram."""
+    tok = corpus.tokens_long(docs).select("doc_id", "source", "word_idx", "word")
+    uni = tok.select(
+        "doc_id",
+        "source",
+        (corpus.content_hash_expr("word") % N_BUCKETS).alias("bucket"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("word_idx")
+    # F.concat (not concat_ws) so a NULL lead() nulls the bigram out
+    big = (
+        tok.withColumn(
+            "bigram", F.concat(F.col("word"), F.lit(" "), F.lead("word").over(w))
+        )
+        .where(F.col("bigram").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            (corpus.content_hash_expr("bigram") % N_BUCKETS).alias("bucket"),
+        )
+    )
+    return uni.unionByName(big)
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.load(spark, sf_dir, "documents")
+    feats = _feature_grain(docs).persist()
+
+    one = F.lit(1.0)
+    nb = F.lit(float(N_BUCKETS))
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum(
+            F.when(F.col("source") == TARGET_SOURCE, F.lit(1)).otherwise(F.lit(0))
+        ).alias("cnt_tgt"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("cnt_tgt") + one) / (F.col("tot_tgt") + nb))
+            / ((F.col("cnt_raw") + one) / (F.col("tot_raw") + nb))
+        ).alias("lam"),
+    )
+    out = (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feat"),
+            F.round(F.sum("lam"), 9).alias("dsir_logw"),
+        )
+        .orderBy("doc_id")
+    )
+    return _with_cache(out, feats)
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH {corpus.SQL_TOK_CTE},
+big0 AS (
+    SELECT doc_id, source,
+           word || ' ' || lead(word) OVER (
+               PARTITION BY doc_id ORDER BY word_idx) AS bigram
+    FROM tok
+),
+feats AS (
+    SELECT doc_id, source, {corpus.sql_content_hash("word")} % {N_BUCKETS} AS bucket
+    FROM tok
+    UNION ALL
+    SELECT doc_id, source, {corpus.sql_content_hash("bigram")} % {N_BUCKETS} AS bucket
+    FROM big0 WHERE bigram IS NOT NULL
+),
+counts AS (
+    SELECT bucket,
+           COUNT(*) AS cnt_raw,
+           SUM(CASE WHEN source = '{TARGET_SOURCE}' THEN 1 ELSE 0 END) AS cnt_tgt
+    FROM feats GROUP BY 1
+),
+tot AS (SELECT SUM(cnt_raw) AS tot_raw, SUM(cnt_tgt) AS tot_tgt FROM counts),
+lam AS (
+    SELECT bucket,
+           ln(((cnt_tgt + CAST(1.0 AS DOUBLE))
+               / (tot_tgt + CAST({N_BUCKETS}.0 AS DOUBLE)))
+              / ((cnt_raw + CAST(1.0 AS DOUBLE))
+                 / (tot_raw + CAST({N_BUCKETS}.0 AS DOUBLE)))) AS lam
+    FROM counts CROSS JOIN tot
+)
+SELECT feats.doc_id,
+       CAST(COUNT(*) AS INT) AS n_feat,
+       ROUND(SUM(lam.lam), 9) AS dsir_logw
+FROM feats JOIN lam USING (bucket)
+GROUP BY 1
+ORDER BY doc_id
+"""

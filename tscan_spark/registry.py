@@ -1600,3 +1600,31 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary/doc-grain reductions; scoring semi-joins the 3-row
     broadcast query dimension before touching doc lengths."""
     return _ranking.bm25_scores(spark, sf_dir)
+
+
+@query("tfidf_keywords", oracle=_ranking.SQL_TFIDF_KEYWORDS)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF: the BM25 token-grain tf
+    reused, vocabulary-grain idf broadcast, doc-partitioned window
+    top-k (no global sort), integer-deterministic rank ordering."""
+    return _ranking.tfidf_keywords(spark, sf_dir)
+
+
+from tscan_spark.operators import weighting as _weighting  # noqa: E402
+
+
+@query("dsir_importance", oracle=_weighting.SQL_DSIR_IMPORTANCE)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed unigram+bigram log-likelihood
+    ratio vs the src0 target domain): one persisted feature grain, one
+    512-bucket aggregate computing BOTH distributions, broadcast
+    log-ratio dimension into the per-doc scoring aggregate."""
+    return _weighting.dsir_importance(spark, sf_dir)
+
+
+@query("zipf_fit", oracle=textstats.SQL_ZIPF_FIT)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent + R^2 over the corpus's own frequency
+    law: (source, word) aggregate, source-partitioned rank window,
+    regr_slope/regr_r2 moment aggregates."""
+    return textstats.zipf_fit(spark, sf_dir)
