@@ -1216,3 +1216,38 @@ def test_zipf_fit_semantics(spark, oracle):
     assert (df["zipf_slope"] < 0).all()
     assert df["zipf_r2"].between(0, 1).all()
     assert (df["n_vocab"] > 0).all()
+
+
+def test_source_length_stats_matches_oracle(spark, oracle):
+    df = QUERIES["source_length_stats"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["source_length_stats"])
+    pdf = df.toPandas()
+    assert (pdf["min_len"] <= pdf["p25"]).all()
+    assert (pdf["p25"] <= pdf["p50"]).all()
+    assert (pdf["p50"] <= pdf["p75"]).all()
+    assert (pdf["p75"] <= pdf["p95"]).all()
+    assert (pdf["p95"] <= pdf["max_len"]).all()
+
+
+def test_unigram_entropy_matches_oracle(spark, oracle):
+    """Oracle match + entropy bounded by ln(n_vocab) and a pandas
+    recomputation of -sum(p ln p) for one source agrees."""
+    import math
+
+    from tscan_spark import corpus
+
+    df = QUERIES["unigram_entropy"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["unigram_entropy"])
+    pdf = df.toPandas()
+    assert (pdf["entropy"] >= 0).all()
+    assert (pdf["norm_entropy"] <= 1.0 + 1e-12).all()
+    tok = (
+        corpus.tokens_long(corpus.load(spark, SF_DIR, "documents"))
+        .select("source", "word")
+        .toPandas()
+    )
+    src = pdf["source"].iloc[0]
+    cnt = tok[tok["source"] == src].groupby("word").size()
+    tot = cnt.sum()
+    want = -sum((c / tot) * math.log(c / tot) for c in cnt)
+    assert abs(float(pdf["entropy"].iloc[0]) - want) < 1e-6

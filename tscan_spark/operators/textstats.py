@@ -549,3 +549,112 @@ GROUP BY source
 ORDER BY source
 """
 SQL_ZIPF_FIT = SQL_ZIPF_FIT.format(tok_cte=corpus.SQL_TOK_CTE)
+
+
+# ---------------------------------------------------------------------------
+# Per-source distributional profiling: length percentiles + unigram entropy
+# ---------------------------------------------------------------------------
+
+
+def source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (exact percentiles).
+
+    Length-distribution drift between sources is the first thing a
+    crawl-curation run inspects (truncated shards, boilerplate bursts).
+    Plan: token grain -> one doc-grain count -> one source-grain
+    aggregate.  ``percentile`` is the EXACT interpolated aggregate
+    (identical linear interpolation to DuckDB's quantile_cont,
+    verified); it holds per-group value counts, bounded here by the
+    distinct-length domain (small ints), not corpus cardinality — at
+    100 TB with unbounded value domains swap ``percentile_approx``,
+    same plan.  Percentiles rounded to 6 dp (interpolation arithmetic
+    differs in the last ULP across engines).
+    """
+    tok = _tok(spark, sf_dir).select("doc_id", "source")
+    dl = tok.groupBy("source", "doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    pct = F.percentile(
+        F.col("n_tok").cast("double"),
+        F.lit([0.25, 0.5, 0.75, 0.95]).cast("array<double>"),
+    )
+    return (
+        dl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.round(F.avg("n_tok"), 6).alias("mean_len"),
+            F.min("n_tok").cast("int").alias("min_len"),
+            F.round(pct[0], 6).alias("p25"),
+            F.round(pct[1], 6).alias("p50"),
+            F.round(pct[2], 6).alias("p75"),
+            F.round(pct[3], 6).alias("p95"),
+            F.max("n_tok").cast("int").alias("max_len"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SOURCE_LENGTH_STATS = """
+WITH {tok_cte},
+dl AS (SELECT source, doc_id, COUNT(*) AS n_tok FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       ROUND(AVG(n_tok), 6) AS mean_len,
+       CAST(MIN(n_tok) AS INT) AS min_len,
+       ROUND(quantile_cont(CAST(n_tok AS DOUBLE), 0.25), 6) AS p25,
+       ROUND(quantile_cont(CAST(n_tok AS DOUBLE), 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(n_tok AS DOUBLE), 0.75), 6) AS p75,
+       ROUND(quantile_cont(CAST(n_tok AS DOUBLE), 0.95), 6) AS p95,
+       CAST(MAX(n_tok) AS INT) AS max_len
+FROM dl
+GROUP BY source
+ORDER BY source
+"""
+SQL_SOURCE_LENGTH_STATS = SQL_SOURCE_LENGTH_STATS.format(tok_cte=corpus.SQL_TOK_CTE)
+
+
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the unigram distribution.
+
+    Low entropy flags template/boilerplate-dominated sources; the
+    normalized form (H / ln|V|) is comparable across sources with
+    different vocabulary sizes.  Plan: the same (source, word) hash
+    aggregate as :func:`zipf_fit`, then a source-grain reduction —
+    -sum(p ln p) decomposes as ln(tot) - sum(cnt ln cnt)/tot, so the
+    per-word pass needs no second join against totals.
+    """
+    tok = _tok(spark, sf_dir).select("source", "word")
+    cnt = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = cnt.groupBy("source").agg(
+        F.sum("cnt").alias("tot"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))).alias(
+            "s"
+        ),
+    )
+    h = F.log(F.col("tot").cast("double")) - F.col("s") / F.col("tot")
+    return agg.select(
+        "source",
+        F.col("tot").cast("int").alias("n_tokens"),
+        F.col("n_vocab").cast("int").alias("n_vocab"),
+        F.round(h, 7).alias("entropy"),
+        F.round(h / F.log(F.col("n_vocab").cast("double")), 7).alias("norm_entropy"),
+    ).orderBy("source")
+
+
+SQL_UNIGRAM_ENTROPY = """
+WITH {tok_cte},
+cnt AS (SELECT source, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+agg AS (
+    SELECT source, SUM(cnt) AS tot, COUNT(*) AS n_vocab,
+           SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS s
+    FROM cnt GROUP BY 1
+)
+SELECT source,
+       CAST(tot AS INT) AS n_tokens,
+       CAST(n_vocab AS INT) AS n_vocab,
+       ROUND(ln(CAST(tot AS DOUBLE)) - s / tot, 7) AS entropy,
+       ROUND((ln(CAST(tot AS DOUBLE)) - s / tot)
+             / ln(CAST(n_vocab AS DOUBLE)), 7) AS norm_entropy
+FROM agg
+ORDER BY source
+"""
+SQL_UNIGRAM_ENTROPY = SQL_UNIGRAM_ENTROPY.format(tok_cte=corpus.SQL_TOK_CTE)

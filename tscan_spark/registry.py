@@ -1628,3 +1628,18 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     law: (source, word) aggregate, source-partitioned rank window,
     regr_slope/regr_r2 moment aggregates."""
     return textstats.zipf_fit(spark, sf_dir)
+
+
+@query("source_length_stats", oracle=textstats.SQL_SOURCE_LENGTH_STATS)
+def q_source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution with exact interpolated
+    percentiles (same interpolation on both engines); doc-grain count
+    then one source-grain aggregate."""
+    return textstats.source_length_stats(spark, sf_dir)
+
+
+@query("unigram_entropy", oracle=textstats.SQL_UNIGRAM_ENTROPY)
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the unigram distribution via the
+    ln(tot) - sum(c ln c)/tot decomposition — no totals join."""
+    return textstats.unigram_entropy(spark, sf_dir)
