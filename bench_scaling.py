@@ -48,9 +48,11 @@ tune(spark)
 from tscan_spark import corpus
 from tscan_spark.operators import sequential
 from tscan_spark.operators import drift as drift_ops
+from tscan_spark.operators import weighting as weighting_ops
 
 OPS = {{'mtld': sequential.doc_mtld, 'multiword': sequential.multiword_matches,
-        'drift': drift_ops.token_drift_kl}}
+        'drift': drift_ops.token_drift_kl,
+        'dsir': weighting_ops.dsir_importance}}
 fn = OPS['{op}']
 
 docs = corpus.load(spark, '{sf_dir}', 'documents')
