@@ -1251,3 +1251,30 @@ def test_unigram_entropy_matches_oracle(spark, oracle):
     tot = cnt.sum()
     want = -sum((c / tot) * math.log(c / tot) for c in cnt)
     assert abs(float(pdf["entropy"].iloc[0]) - want) < 1e-6
+
+
+def test_multimodal_resize_matches_oracle(spark, oracle):
+    """Oracle match + the stub resize honors the stride arithmetic."""
+    from tscan_spark.operators.multimodal import RESIZE_STRIDE
+
+    df = QUERIES["multimodal_resize"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["multimodal_resize"])
+    pdf = df.toPandas()
+    want = (pdf["n_bytes"] + RESIZE_STRIDE - 1) // RESIZE_STRIDE
+    assert (pdf["resized_n_bytes"] == want).all()
+
+
+def test_multimodal_frame_sample_matches_oracle(spark, oracle):
+    """Oracle match + the explode shape: every sampled frame_idx is a
+    multiple of SAMPLE_EVERY, full frames carry FRAME_SIZE bytes, and
+    only the last sampled frame per doc may be short."""
+    from tscan_spark.operators.multimodal import FRAME_SIZE, SAMPLE_EVERY
+
+    df = QUERIES["multimodal_frame_sample"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["multimodal_frame_sample"])
+    pdf = df.toPandas()
+    assert (pdf["frame_idx"] % SAMPLE_EVERY == 0).all()
+    last = pdf.groupby("doc_id")["frame_idx"].transform("max")
+    full = pdf[pdf["frame_idx"] < last]
+    assert (full["frame_bytes"] == FRAME_SIZE).all()
+    assert pdf["frame_bytes"].between(1, FRAME_SIZE).all()

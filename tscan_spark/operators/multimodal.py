@@ -100,3 +100,146 @@ SELECT d.doc_id,
        CAST(s.checksum % 640 + 1 AS INT) AS fake_width,
        CAST(s.checksum % 480 + 1 AS INT) AS fake_height
 FROM documents d JOIN s USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample plumbing (codec stubbed, Spark contract real)
+# ---------------------------------------------------------------------------
+
+RESIZE_STRIDE = 4  # keep every 4th byte — the "downsample" stub
+FRAME_SIZE = 64  # bytes per synthetic video frame
+SAMPLE_EVERY = 3  # keep frames 0, 3, 6, ...
+
+
+def resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas "resize" pass: payload -> strided-downsample payload.
+
+    A real image resize (PIL.thumbnail) drops in behind the same
+    batch-in/batch-out signature; the stub keeps every
+    ``RESIZE_STRIDE``-th byte — deterministic, and the DuckDB oracle
+    replays it with substring arithmetic over the ASCII corpus.  Same
+    scale story as decode: one narrow pass, decode parallelism = scan
+    parallelism, the resized payload stays binary inside the engine
+    (only checksum/length/preview surface for value comparison).
+    """
+    binary = binarize(corpus.load(spark, sf_dir, "documents"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                small = bytes(payload[::RESIZE_STRIDE])
+                n, checksum, _, _ = _decode_stub(small)
+                rows.append(
+                    (doc_id, len(payload), n, checksum, small[:16].decode("utf-8"))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "resized_n_bytes",
+                    "resized_checksum",
+                    "preview",
+                ],
+            )
+
+    return binary.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, n_bytes long, resized_n_bytes long, "
+            "resized_checksum long, preview string"
+        ),
+    )
+
+
+SQL_RESIZE_FEATURES = f"""
+WITH small AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_aggregate(
+               list_transform(
+                   range(1, len(text) + 1, {RESIZE_STRIDE}),
+                   i -> substring(text, CAST(i AS INT), 1)),
+               'string_agg', '') AS s
+    FROM documents
+),
+ch AS (
+    SELECT doc_id,
+           unnest(string_split(s, '')) AS c,
+           generate_subscripts(string_split(s, ''), 1) AS i
+    FROM small
+),
+cs AS (SELECT doc_id, SUM(i * ord(c)) % {CHECKSUM_P} AS checksum
+       FROM ch GROUP BY doc_id)
+SELECT small.doc_id,
+       CAST(small.n_bytes AS BIGINT) AS n_bytes,
+       CAST(len(small.s) AS BIGINT) AS resized_n_bytes,
+       CAST(cs.checksum AS BIGINT) AS resized_checksum,
+       substring(small.s, 1, 16) AS preview
+FROM small JOIN cs USING (doc_id)"""
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame-sampling pass: payload -> every Nth frame.
+
+    Treats the payload as fixed-``FRAME_SIZE``-byte frames (the ffmpeg
+    keyframe-extract analog) and emits one ROW PER SAMPLED FRAME — the
+    batch-explode shape (one input row -> many output rows) that a real
+    video pipeline needs from mapInPandas.  Row fan-out happens inside
+    the narrow pass; no shuffle until a consumer aggregates.
+    """
+    binary = binarize(corpus.load(spark, sf_dir, "documents"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+                for fi in range(0, n_frames, SAMPLE_EVERY):
+                    frame = payload[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
+                    fn, fcs, _, _ = _decode_stub(frame)
+                    rows.append((doc_id, fi, fn, fcs))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_checksum"]
+            )
+
+    return binary.mapInPandas(
+        sample,
+        schema="doc_id long, frame_idx int, frame_bytes long, frame_checksum long",
+    ).orderBy("doc_id", "frame_idx")
+
+
+SQL_FRAME_SAMPLE = f"""
+WITH f AS (
+    SELECT doc_id, text,
+           CAST(ceil(len(text) / {FRAME_SIZE}.0) AS INT) AS n_frames
+    FROM documents
+),
+frames AS (
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames, {SAMPLE_EVERY})) AS INT) AS frame_idx,
+           text
+    FROM f
+),
+fr AS (
+    SELECT doc_id, frame_idx,
+           substring(text, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE}) AS frame,
+           len(substring(text, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE}))
+               AS frame_bytes
+    FROM frames
+),
+ch AS (
+    SELECT doc_id, frame_idx,
+           unnest(string_split(frame, '')) AS c,
+           generate_subscripts(string_split(frame, ''), 1) AS i
+    FROM fr
+)
+SELECT fr.doc_id,
+       fr.frame_idx,
+       CAST(fr.frame_bytes AS BIGINT) AS frame_bytes,
+       CAST(COALESCE(SUM(ch.i * ord(ch.c)) % {CHECKSUM_P}, 0) AS BIGINT)
+           AS frame_checksum
+FROM fr LEFT JOIN ch USING (doc_id, frame_idx)
+GROUP BY 1, 2, 3
+ORDER BY doc_id, frame_idx"""

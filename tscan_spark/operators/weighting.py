@@ -22,6 +22,17 @@ Plan shape (the part that matters at 100 TB):
   bigrams, partitioned by doc_id: hash-partitioned, no global sort).
   Persisted under the cache contract for its two consumers; at scale
   this persist is the staging-table materialization (cache.py).
+- The window shuffles INTEGERS, not strings: each token is hashed
+  once at the scan, the window leads (hash, length), and the bigram
+  hash is composed arithmetically via the polynomial identity
+  h(x || y) = (h(x) * 131^len(y) + h(y)) mod p — so no bigram string
+  is ever built or re-folded.  Measured on 160k docs (17M features):
+  string-shuffle form 12.2s/10.4s at local[4]/local[16] (4->16
+  efficiency 0.29, bandwidth-bound); this form 10.2s/4.7s
+  (efficiency 0.54, 2.2x at 16 cores).  An all-array zero-shuffle
+  form (bigrams inside the token array via nested higher-order
+  functions) was tried and REJECTED: nested HOF evaluation is
+  interpreted per element — 442s on the same input.
 - Both distributions come from ONE pass over that grain: a single
   N_BUCKETS-row aggregate computes cnt_raw and cnt_target together
   (count + conditional count), so the target subset is never
@@ -50,25 +61,40 @@ TARGET_SOURCE = "src0"
 
 
 def _feature_grain(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, bucket) — one row per unigram and per bigram."""
-    tok = corpus.tokens_long(docs).select("doc_id", "source", "word_idx", "word")
-    uni = tok.select(
+    """(doc_id, source, bucket) — one row per unigram and per bigram.
+
+    Tokens are hashed ONCE at the scan; the window carries only
+    (hash, length) ints and the bigram hash is composed with modular
+    arithmetic (see module docstring).  All intermediates stay below
+    2^63: (h*131+32) % p < 2^31 before the multiply, and
+    2^31 * 2^31 < 2^63 (DuckDB-compatible bound, corpus.py).
+    """
+    B, P = corpus.HASH_BASE, corpus.HASH_MOD
+    tok = corpus.tokens_long(docs).select(
         "doc_id",
         "source",
-        (corpus.content_hash_expr("word") % N_BUCKETS).alias("bucket"),
+        "word_idx",
+        corpus.content_hash_expr("word").alias("h"),
+        F.length("word").cast("long").alias("len"),
     )
     w = Window.partitionBy("doc_id").orderBy("word_idx")
-    # F.concat (not concat_ws) so a NULL lead() nulls the bigram out
-    big = (
-        tok.withColumn(
-            "bigram", F.concat(F.col("word"), F.lit(" "), F.lead("word").over(w))
-        )
-        .where(F.col("bigram").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            (corpus.content_hash_expr("bigram") % N_BUCKETS).alias("bucket"),
-        )
+    tok2 = tok.select(
+        "doc_id",
+        "source",
+        "h",
+        F.lead("h").over(w).alias("h_next"),
+        F.lead("len").over(w).alias("len_next"),
+    )
+    # 131^len(next) mod p — a len-step integer fold (words are short)
+    powmod = F.aggregate(
+        F.sequence(F.lit(1), F.col("len_next").cast("int")),
+        F.lit(1).cast("long"),
+        lambda acc, _: (acc * B) % P,
+    )
+    h_big = (((F.col("h") * B + 32) % P) * powmod + F.col("h_next")) % P
+    uni = tok2.select("doc_id", "source", (F.col("h") % N_BUCKETS).alias("bucket"))
+    big = tok2.where(F.col("h_next").isNotNull()).select(
+        "doc_id", "source", (h_big % N_BUCKETS).alias("bucket")
     )
     return uni.unionByName(big)
 

@@ -1643,3 +1643,18 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Shannon entropy of the unigram distribution via the
     ln(tot) - sum(c ln c)/tot decomposition — no totals join."""
     return textstats.unigram_entropy(spark, sf_dir)
+
+
+@query("multimodal_resize", oracle=multimodal.SQL_RESIZE_FEATURES)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided-downsample "resize" stub behind the real mapInPandas
+    batch contract — one narrow pass, payload stays binary in-engine."""
+    return multimodal.resize_features(spark, sf_dir)
+
+
+@query("multimodal_frame_sample", oracle=multimodal.SQL_FRAME_SAMPLE)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-Nth-frame sampling: the batch-explode mapInPandas shape
+    (one payload row -> many frame rows), fan-out inside the narrow
+    pass."""
+    return multimodal.frame_sample(spark, sf_dir)
