@@ -117,3 +117,39 @@ def test_asof_join_prunes_lexicon_columns(spark):
     # executes correctly AND stays on the broadcast strategy
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bm25_and_tfidf_broadcast_and_prune(spark):
+    """The ranking family's scale claims: the query/idf dimensions ride
+    BroadcastHashJoins (never SortMergeJoin against the vocabulary),
+    and the documents scan reads only the tokenization columns."""
+    for name in ("bm25_scores", "tfidf_keywords"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        rs = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" in rs and "n_chars" not in rs, (name, rs)
+
+
+def test_dsir_window_shuffles_ints_not_strings(spark):
+    """The DSIR bigram window must carry (hash, length) ints — the word
+    strings stop at the scan-side projection.  If 'word' appears in the
+    window operator's output the int-composition optimization
+    regressed."""
+    plan = _plan(QUERIES["dsir_importance"](spark, SF_DIR))
+    win = [ln for ln in plan.splitlines() if "Window" in ln and "windowspec" in ln.lower() or ln.strip().startswith("Window ")]
+    assert win, plan
+    for ln in win:
+        assert "word#" not in ln, ln
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_multimodal_passes_are_narrow(spark):
+    """resize is a single narrow mapInPandas pass: no Exchange at all;
+    frame-sample adds only the final presentation sort."""
+    resize = _plan(QUERIES["multimodal_resize"](spark, SF_DIR))
+    assert "ArrowEvalPython" in resize or "MapInPandas" in resize, resize
+    assert "Exchange hashpartitioning" not in resize, resize
+    frames = _plan(QUERIES["multimodal_frame_sample"](spark, SF_DIR))
+    assert "ArrowEvalPython" in frames or "MapInPandas" in frames, frames
+    assert "Exchange hashpartitioning" not in frames, frames
