@@ -1278,3 +1278,17 @@ def test_multimodal_frame_sample_matches_oracle(spark, oracle):
     full = pdf[pdf["frame_idx"] < last]
     assert (full["frame_bytes"] == FRAME_SIZE).all()
     assert pdf["frame_bytes"].between(1, FRAME_SIZE).all()
+
+
+def test_curate_pipeline_matches_oracle(spark, oracle):
+    """Oracle match + funnel monotonicity and stage consistency with
+    the component queries."""
+    df = QUERIES["curate_pipeline"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["curate_pipeline"])
+    pdf = df.toPandas()
+    assert (pdf["n_candidates"] >= pdf["n_decon_pass"]).all()
+    assert (pdf["n_decon_pass"] >= pdf["n_quality_pass"]).all()
+    assert (pdf["n_quality_pass"] >= pdf["n_final"]).all()
+    decon = QUERIES["decontaminate_ngram"](spark, SF_DIR).toPandas()
+    assert int(pdf["n_candidates"].sum()) == len(decon)
+    assert int(pdf["n_decon_pass"].sum()) == int((~decon["contaminated"]).sum())

@@ -751,3 +751,104 @@ SELECT source, n_tok,
 FROM m
 ORDER BY source"""
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation funnel (composition of the gates above)
+# ---------------------------------------------------------------------------
+
+
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel as ONE query: decontamination ->
+    repetition-quality gate -> exact-dedup keeper selection ->
+    per-source funnel accounting.
+
+    This is the composition a production run executes nightly; each
+    stage is the registered operator above, so the funnel doubles as
+    an integration test that the gates compose (shared doc_id grain,
+    consistent holdout exclusion).  Candidates are the non-holdout
+    docs (the holdout IS the benchmark being protected).  The dedup
+    keeper is chosen among docs that survived BOTH gates — lowest
+    doc_id per md5(text) group (the `dedup_exact` policy).
+
+    Plan: three doc-grain lineages (decon grams, quality grams, md5)
+    joined on doc_id, a text_hash-partitioned keeper window over the
+    survivor subset only, one source-grain funnel aggregate.
+    Production materializes the token grain once (staging contract,
+    PLANS.md) so the gram passes scan columnar staging, not raw text.
+
+    Output per source: candidates, decon survivors, quality
+    survivors, final keepers, and tokens retained.
+    """
+    from pyspark.sql.window import Window
+
+    docs = corpus.load(spark, sf_dir, "documents")
+    decon = decontaminate_ngram(spark, sf_dir).select("doc_id", "contaminated")
+    qual = quality_repetition(spark, sf_dir).select(
+        "doc_id", "n_tok", F.col("keep").alias("q_keep")
+    )
+    cand = (
+        docs.select("doc_id", "source", F.md5("text").alias("text_hash"))
+        .join(decon, "doc_id")
+        .join(qual, "doc_id")
+    )
+    surv = cand.where(~F.col("contaminated") & F.col("q_keep"))
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    keepers = (
+        surv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("is_keeper"))
+    )
+    funnel = cand.join(keepers, "doc_id", "left")
+    pass1 = ~F.col("contaminated")
+    pass2 = pass1 & F.col("q_keep")
+    final = F.col("is_keeper").isNotNull()
+    return (
+        funnel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_candidates"),
+            F.sum(pass1.cast("int")).cast("int").alias("n_decon_pass"),
+            F.sum(pass2.cast("int")).cast("int").alias("n_quality_pass"),
+            F.sum(final.cast("int")).cast("int").alias("n_final"),
+            F.sum(F.when(final, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_final"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_curate_pipeline() -> str:
+    return f"""
+WITH decon AS (
+    SELECT doc_id, contaminated FROM ({sql_decontaminate_ngram()})
+),
+qual AS (
+    SELECT doc_id, n_tok, keep FROM ({sql_quality_repetition()})
+),
+cand AS (
+    SELECT d.doc_id, d.source, md5(d.text) AS text_hash,
+           decon.contaminated, qual.n_tok, qual.keep
+    FROM documents d
+    JOIN decon USING (doc_id)
+    JOIN qual USING (doc_id)
+),
+surv AS (
+    SELECT doc_id, text_hash,
+           ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+    FROM cand WHERE NOT contaminated AND keep
+),
+kept AS (SELECT doc_id FROM surv WHERE rn = 1)
+SELECT cand.source,
+       CAST(COUNT(*) AS INT) AS n_candidates,
+       CAST(SUM(CASE WHEN NOT contaminated THEN 1 ELSE 0 END) AS INT)
+           AS n_decon_pass,
+       CAST(SUM(CASE WHEN NOT contaminated AND keep THEN 1 ELSE 0 END) AS INT)
+           AS n_quality_pass,
+       CAST(SUM(CASE WHEN kept.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS n_final,
+       CAST(SUM(CASE WHEN kept.doc_id IS NOT NULL THEN n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_final
+FROM cand LEFT JOIN kept USING (doc_id)
+GROUP BY cand.source
+ORDER BY cand.source"""

@@ -1658,3 +1658,11 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one payload row -> many frame rows), fan-out inside the narrow
     pass."""
     return multimodal.frame_sample(spark, sf_dir)
+
+
+@query("curate_pipeline", oracle=curation.sql_curate_pipeline())
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: decontamination -> repetition gate
+    -> exact-dedup keeper -> per-source accounting, composed from the
+    registered gate operators on the shared doc_id grain."""
+    return curation.curate_pipeline(spark, sf_dir)
