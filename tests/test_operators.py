@@ -1292,3 +1292,32 @@ def test_curate_pipeline_matches_oracle(spark, oracle):
     decon = QUERIES["decontaminate_ngram"](spark, SF_DIR).toPandas()
     assert int(pdf["n_candidates"].sum()) == len(decon)
     assert int(pdf["n_decon_pass"].sum()) == int((~decon["contaminated"]).sum())
+
+
+def test_eval_split_matches_oracle(spark, oracle):
+    """Oracle match + split determinism and global fractions near the
+    configured percentages."""
+    df = QUERIES["eval_split"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["eval_split"])
+    pdf = df.toPandas()
+    assert set(pdf["split"]) <= {"train", "val", "test"}
+    tot = pdf.groupby("split")["n_docs"].sum()
+    n = tot.sum()
+    assert tot.get("train", 0) > tot.get("val", 0)
+    assert tot.get("train", 0) > tot.get("test", 0)
+    # fraction sums to 1 within each source
+    per_src = pdf.groupby("source")["frac"].sum()
+    assert ((per_src - 1.0).abs() < 1e-4).all()
+
+
+def test_ann_recall_eval_matches_oracle(spark, oracle):
+    """Oracle match + recall bounded in [0, 1] with n_exact == TOP_K."""
+    from tscan_spark.operators.similarity import N_QUERIES, TOP_K
+
+    df = QUERIES["ann_recall_eval"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["ann_recall_eval"])
+    pdf = df.toPandas()
+    assert len(pdf) == N_QUERIES
+    assert (pdf["n_exact"] == TOP_K).all()
+    assert pdf["recall"].between(0, 1).all()
+    assert (pdf["n_hits"] <= pdf["n_exact"]).all()

@@ -848,3 +848,59 @@ ranked AS (
     FROM scored
 )
 SELECT q_id, vec_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: IVF recall vs the exact ground truth
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF index against brute-force ground truth.
+
+    A production ANN deployment is tuned by measuring recall in the
+    SAME engine that builds the index — this runs both registered
+    pipelines (exact cosine top-k and IVF probe top-k) and scores the
+    overlap per query: n_hits = |IVF top-k ∩ exact top-k|, recall =
+    n_hits / k.  Both sides reuse the registered operators verbatim,
+    so the evaluation cannot drift from what users actually query.
+
+    Plan: the two top-k plans (each already bounded: query-block
+    broadcast, candidate-bounded rerank) plus one (q_id, vec_id)
+    equi-join at top-k cardinality (N_QUERIES * k rows — trivially
+    small at any corpus size) and a q_id-grain aggregate.
+    """
+    exact = brute_force_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = ivf_topk(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    scored = exact.join(approx, ["q_id", "vec_id"], "left")
+    return (
+        scored.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def sql_ann_recall_eval() -> str:
+    return f"""
+WITH exact AS (
+    SELECT q_id, vec_id FROM ({sql_brute_force_topk()})
+),
+approx AS (
+    SELECT q_id, vec_id, 1 AS hit FROM ({sql_ivf_topk()})
+)
+SELECT exact.q_id,
+       CAST(COUNT(*) AS INT) AS n_exact,
+       CAST(COALESCE(SUM(approx.hit), 0) AS INT) AS n_hits,
+       ROUND(COALESCE(SUM(approx.hit), 0) * 1.0 / COUNT(*), 6) AS recall
+FROM exact
+LEFT JOIN approx USING (q_id, vec_id)
+GROUP BY exact.q_id
+ORDER BY exact.q_id"""

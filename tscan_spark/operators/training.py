@@ -243,3 +243,88 @@ SELECT doc_id, y, score,
 FROM scored
 ORDER BY doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_SEED = 17
+VAL_PCT = 5
+TEST_PCT = 5
+
+
+def eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed train/val/test assignment + accounting.
+
+    Every training pipeline needs a split that is (a) reproducible
+    across runs and engines, (b) stable under corpus growth (a doc's
+    split never changes when other docs arrive), and (c) computable as
+    a pure projection — no sampling state, no global ordering.  The
+    split key is the replayable content hash of (doc_id ':' seed)
+    mod 100: buckets [0, TEST_PCT) -> test, [TEST_PCT,
+    TEST_PCT+VAL_PCT) -> val, rest -> train.
+
+    Plan: one narrow projection for the assignment, one doc-grain
+    token count, one (source, split) aggregate.  Output: per (source,
+    split) doc and token counts plus the realized fraction.
+    """
+    docs = corpus.load(spark, sf_dir, "documents")
+    tok = corpus.tokens_long(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    bucket = (
+        corpus.content_hash_expr(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{SPLIT_SEED}"))
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < TEST_PCT, F.lit("test"))
+        .when(bucket < TEST_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    assigned = docs.select("doc_id", "source", split.alias("split")).join(
+        tok, "doc_id"
+    )
+    per_source = assigned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    return (
+        assigned.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(per_source), "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("n_source"), 6).alias("frac"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def sql_eval_split() -> str:
+    skey = corpus.sql_content_hash(f"(CAST(doc_id AS VARCHAR) || ':{SPLIT_SEED}')")
+    return f"""
+WITH {corpus.SQL_TOK_CTE},
+tl AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY 1),
+assigned AS (
+    SELECT d.doc_id, d.source, tl.n_tok,
+           CASE WHEN {skey} % 100 < {TEST_PCT} THEN 'test'
+                WHEN {skey} % 100 < {TEST_PCT + VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents d JOIN tl ON d.doc_id = tl.doc_id
+),
+per_source AS (SELECT source, COUNT(*) AS n_source FROM assigned GROUP BY 1)
+SELECT a.source, a.split,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(a.n_tok) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(*) * 1.0 / ANY_VALUE(p.n_source), 6) AS frac
+FROM assigned a JOIN per_source p USING (source)
+GROUP BY a.source, a.split
+ORDER BY a.source, a.split"""

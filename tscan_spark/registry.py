@@ -1666,3 +1666,19 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> exact-dedup keeper -> per-source accounting, composed from the
     registered gate operators on the shared doc_id grain."""
     return curation.curate_pipeline(spark, sf_dir)
+
+
+@query("eval_split", oracle=_training.sql_eval_split())
+def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed train/val/test split accounting: pure
+    projection assignment (stable under corpus growth), one doc-grain
+    token count, one (source, split) aggregate."""
+    return _training.eval_split(spark, sf_dir)
+
+
+@query("ann_recall_eval", oracle=similarity.sql_ann_recall_eval())
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF index vs brute-force ground truth, composed
+    from the two registered top-k pipelines plus one top-k-cardinality
+    join."""
+    return similarity.ann_recall_eval(spark, sf_dir)
