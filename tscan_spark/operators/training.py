@@ -315,8 +315,10 @@ WITH {corpus.SQL_TOK_CTE},
 tl AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY 1),
 assigned AS (
     SELECT d.doc_id, d.source, tl.n_tok,
-           CASE WHEN {skey} % 100 < {TEST_PCT} THEN 'test'
-                WHEN {skey} % 100 < {TEST_PCT + VAL_PCT} THEN 'val'
+           CASE WHEN {skey.replace("doc_id", "d.doc_id")} % 100 < {TEST_PCT}
+                THEN 'test'
+                WHEN {skey.replace("doc_id", "d.doc_id")} % 100
+                     < {TEST_PCT + VAL_PCT} THEN 'val'
                 ELSE 'train' END AS split
     FROM documents d JOIN tl ON d.doc_id = tl.doc_id
 ),
