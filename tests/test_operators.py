@@ -1321,3 +1321,24 @@ def test_ann_recall_eval_matches_oracle(spark, oracle):
     assert (pdf["n_exact"] == TOP_K).all()
     assert pdf["recall"].between(0, 1).all()
     assert (pdf["n_hits"] <= pdf["n_exact"]).all()
+
+
+def test_dedup_recall_eval_matches_oracle(spark, oracle):
+    """Oracle match + set identities: n_both <= min(n_exact, n_lsh)
+    and recall = n_both / n_exact."""
+    df = QUERIES["dedup_recall_eval"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["dedup_recall_eval"])
+    row = df.toPandas().iloc[0]
+    assert row["n_both"] <= min(row["n_exact"], row["n_lsh"])
+    assert abs(row["lsh_recall"] - row["n_both"] / row["n_exact"]) < 1e-6
+
+
+def test_quality_quantile_gate_matches_oracle(spark, oracle):
+    """Oracle match + the gate keeps roughly the top 1-q of each
+    source and never exceeds the source size."""
+    df = QUERIES["quality_quantile_gate"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["quality_quantile_gate"])
+    pdf = df.toPandas()
+    assert (pdf["n_keep"] <= pdf["n_docs"]).all()
+    # >= 1-q of docs survive (ties at the floor can only add docs)
+    assert (pdf["n_keep"] >= (0.75 * pdf["n_docs"]).astype(int)).all()

@@ -1024,3 +1024,73 @@ SELECT a.doc_id, a.cluster_id,
 FROM assigned a JOIN q ON q.doc_id = a.doc_id
 ORDER BY a.doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-stage quality evaluation: MinHash candidates vs the exact pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/agreement of the MinHash-LSH stage against the exact
+    n-gram Jaccard pairs — the measurement a production dedup run uses
+    to size NUM_BANDS/NUM_HASHES before committing to a corpus pass.
+
+    Both inputs are the REGISTERED pipelines (each already exact-
+    verifies its candidates at JACCARD_THRESHOLD), so disagreements
+    isolate candidate GENERATION: pairs the banding missed (recall
+    loss) vs pairs the light/heavy posting split excluded by design
+    (heavy-only overlap, dedup.py:204).  Plan: the two pair pipelines
+    plus ONE full-outer join at pair cardinality (both sides are
+    near-dup-sparse — orders of magnitude below doc^2) and a single
+    summary aggregate.
+    """
+    exact = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    lsh = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "full")
+    out = joined.agg(
+        F.coalesce(F.sum("in_exact"), F.lit(0)).cast("int").alias("n_exact"),
+        F.coalesce(F.sum("in_lsh"), F.lit(0)).cast("int").alias("n_lsh"),
+        F.sum(
+            (F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull()).cast(
+                "int"
+            )
+        )
+        .cast("int")
+        .alias("n_both"),
+        F.round(
+            F.sum(
+                (
+                    F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull()
+                ).cast("int")
+            )
+            / F.coalesce(F.sum("in_exact"), F.lit(0)),
+            6,
+        ).alias("lsh_recall"),
+    )
+    caches = list(getattr(exact, "_tscan_caches", [])) + list(
+        getattr(lsh, "_tscan_caches", [])
+    )
+    return _with_cache(out, *caches)
+
+
+def sql_dedup_recall_eval() -> str:
+    return f"""
+WITH exact AS (
+    SELECT doc_a, doc_b, 1 AS in_exact FROM ({sql_ngram_jaccard()})
+),
+lsh AS (
+    SELECT doc_a, doc_b, 1 AS in_lsh FROM ({sql_minhash_lsh_pairs()})
+)
+SELECT CAST(COALESCE(SUM(in_exact), 0) AS INT) AS n_exact,
+       CAST(COALESCE(SUM(in_lsh), 0) AS INT) AS n_lsh,
+       CAST(SUM(CASE WHEN in_exact IS NOT NULL AND in_lsh IS NOT NULL
+                     THEN 1 ELSE 0 END) AS INT) AS n_both,
+       ROUND(SUM(CASE WHEN in_exact IS NOT NULL AND in_lsh IS NOT NULL
+                      THEN 1 ELSE 0 END) * 1.0
+             / COALESCE(SUM(in_exact), 0), 6) AS lsh_recall
+FROM exact FULL OUTER JOIN lsh USING (doc_a, doc_b)"""

@@ -658,3 +658,76 @@ FROM agg
 ORDER BY source
 """
 SQL_UNIGRAM_ENTROPY = SQL_UNIGRAM_ENTROPY.format(tok_cte=corpus.SQL_TOK_CTE)
+
+
+# ---------------------------------------------------------------------------
+# per-source quality-quantile gate
+# ---------------------------------------------------------------------------
+
+QUALITY_GATE_Q = 0.25  # drop each source's bottom quartile
+
+
+def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality floor at the QUALITY_GATE_Q quantile.
+
+    `select_token_budget` cuts by rank; production corpus runs cut by a
+    per-source QUANTILE of the quality score so the gate is a single
+    scalar per source (broadcastable, stable to publish in run
+    metadata).  This computes the exact interpolated quantile of the
+    registered quality score per source and the resulting keep
+    accounting.
+
+    Plan: the quality_score doc-grain aggregate, one source-grain
+    percentile (exact here — value domain is the 6dp-rounded score;
+    percentile_approx at unbounded scale, same plan), one broadcast
+    threshold join back, one funnel aggregate.
+    """
+    docs = corpus.load(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tok", "quality")
+    scored = docs.join(q, "doc_id")
+    thr = scored.groupBy("source").agg(
+        F.round(
+            F.percentile(F.col("quality"), F.lit(QUALITY_GATE_Q)), 6
+        ).alias("q_floor")
+    )
+    gated = scored.join(F.broadcast(thr), "source").withColumn(
+        "keep", F.col("quality") >= F.col("q_floor")
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.any_value("q_floor").alias("q_floor"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_keep"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_quality_quantile_gate() -> str:
+    return f"""
+WITH q AS (
+    SELECT doc_id, n_tok, quality FROM ({sql_quality_score()})
+),
+scored AS (
+    SELECT d.source, q.doc_id, q.n_tok, q.quality
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+thr AS (
+    SELECT source,
+           ROUND(quantile_cont(quality, {QUALITY_GATE_Q}), 6) AS q_floor
+    FROM scored GROUP BY 1
+)
+SELECT s.source,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       ANY_VALUE(t.q_floor) AS q_floor,
+       CAST(SUM(CASE WHEN s.quality >= t.q_floor THEN 1 ELSE 0 END) AS INT)
+           AS n_keep,
+       CAST(SUM(CASE WHEN s.quality >= t.q_floor THEN s.n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_keep
+FROM scored s JOIN thr t USING (source)
+GROUP BY s.source
+ORDER BY s.source"""

@@ -1682,3 +1682,20 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the two registered top-k pipelines plus one top-k-cardinality
     join."""
     return similarity.ann_recall_eval(spark, sf_dir)
+
+
+@query("dedup_recall_eval", oracle=dedup.sql_dedup_recall_eval())
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/agreement of the MinHash-LSH stage vs the exact n-gram
+    Jaccard pairs — the banding-resolution sizing measurement, composed
+    from the two registered pipelines plus one pair-cardinality
+    full-outer join."""
+    return dedup.dedup_recall_eval(spark, sf_dir)
+
+
+@query("quality_quantile_gate", oracle=textstats.sql_quality_quantile_gate())
+def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality floor at the exact interpolated quartile with
+    keep accounting: doc-grain quality aggregate, source-grain
+    percentile, broadcast threshold join."""
+    return textstats.quality_quantile_gate(spark, sf_dir)
