@@ -1342,3 +1342,48 @@ def test_quality_quantile_gate_matches_oracle(spark, oracle):
     assert (pdf["n_keep"] <= pdf["n_docs"]).all()
     # >= 1-q of docs survive (ties at the floor can only add docs)
     assert (pdf["n_keep"] >= (0.75 * pdf["n_docs"]).astype(int)).all()
+
+
+def test_pmi_collocations_matches_oracle(spark, oracle):
+    """Oracle match + a pandas recomputation of PMI for one pair."""
+    import math
+
+    from tscan_spark import corpus
+    from tscan_spark.operators.collocation import MIN_PAIR_COUNT
+
+    df = QUERIES["pmi_collocations"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["pmi_collocations"])
+    pdf = df.toPandas()
+    assert (pdf["c_xy"] >= MIN_PAIR_COUNT).all()
+    tok = (
+        corpus.tokens_long(corpus.load(spark, SF_DIR, "documents"))
+        .select("doc_id", "word_idx", "word")
+        .toPandas()
+        .sort_values(["doc_id", "word_idx"])
+    )
+    uni = tok.groupby("word").size()
+    n1 = len(tok)
+    pair_counts: dict = {}
+    for _, grp in tok.groupby("doc_id"):
+        ws = grp["word"].tolist()
+        for a, b in zip(ws, ws[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    n2 = sum(pair_counts.values())
+    r = pdf.iloc[0]
+    want = math.log(
+        (pair_counts[(r.word_a, r.word_b)] / n2)
+        / ((uni[r.word_a] / n1) * (uni[r.word_b] / n1))
+    )
+    assert abs(r.pmi - want) < 1e-5
+
+
+def test_source_embedding_drift_matches_oracle(spark, oracle):
+    """Oracle match + cohesion bounded: mean_cos in (-1, 1],
+    min_cos <= mean_cos, centroid norm positive."""
+    df = QUERIES["source_embedding_drift"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["source_embedding_drift"])
+    pdf = df.toPandas()
+    assert (pdf["mean_cos"] <= 1.0 + 1e-9).all()
+    assert (pdf["min_cos"] <= pdf["mean_cos"]).all()
+    assert (pdf["centroid_norm"] > 0).all()
+    assert (pdf["n_vecs"] > 0).all()

@@ -193,3 +193,102 @@ SELECT nt.source, nt.bucket, nt.new_types,
 FROM nt JOIN bt USING (source, bucket)
 ORDER BY nt.source, nt.bucket"""
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space drift: per-source centroids + cohesion
+# ---------------------------------------------------------------------------
+
+
+def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid norm + cosine cohesion.
+
+    The embedding-space counterpart of ``token_drift_kl``: a source
+    whose vectors drift (new topics, encoder change, ingest bug) shows
+    a falling mean cosine-to-centroid before any token statistic
+    moves.  Centroid arithmetic runs on the similarity family's FP6
+    integer quantizer (per-dim FLOOR-mean — reduction-order-free, so
+    the DuckDB oracle replays it exactly); per-vector cosines use the
+    exact FP6 integer dot (64 dims x 1e12/term fits int64).
+
+    Plan: one embeddings scan exploded to (vec, dim), a doc_id join
+    for the source key, one (source, dim) centroid aggregate
+    (sources x 64 rows — broadcast back), one per-vector dot + one
+    source-grain cohesion aggregate.  Corpus touched once.
+    """
+    from tscan_spark.operators.similarity import FP6, _emb_long
+
+    docs = corpus.load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = corpus.load(spark, sf_dir, "embeddings")
+    el = _emb_long(emb).select(
+        "vec_id", "dim", F.round(F.col("x") * FP6, 0).cast("long").alias("xfp6")
+    )
+    long = el.join(docs, el["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "source", "dim", "xfp6"
+    )
+    cent = long.groupBy("source", "dim").agg(
+        F.floor(F.sum("xfp6") / F.count(F.lit(1))).cast("long").alias("cfp6")
+    )
+    joined = long.join(F.broadcast(cent), ["source", "dim"])
+    per_vec = joined.groupBy("source", "vec_id").agg(
+        F.sum(F.col("xfp6") * F.col("cfp6")).alias("dot_fp"),
+        F.sum(F.col("xfp6") * F.col("xfp6")).alias("nx_fp"),
+        F.sum(F.col("cfp6") * F.col("cfp6")).alias("nc_fp"),
+    )
+    cos = F.col("dot_fp") / (
+        F.sqrt(F.col("nx_fp").cast("double")) * F.sqrt(F.col("nc_fp").cast("double"))
+    )
+    return (
+        per_vec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vecs"),
+            F.round(
+                F.sqrt(F.any_value("nc_fp").cast("double")) / F.lit(float(FP6)), 6
+            ).alias("centroid_norm"),
+            F.round(F.avg(cos), 6).alias("mean_cos"),
+            F.round(F.min(cos), 6).alias("min_cos"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_source_embedding_drift() -> str:
+    from tscan_spark.operators.similarity import FP6
+
+    return f"""
+WITH long AS (
+    SELECT e.vec_id, d.source, r.i AS dim,
+           CAST(ROUND(CAST(e.embedding[r.i] AS DOUBLE) * {FP6}, 0) AS BIGINT)
+               AS xfp6
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id
+    CROSS JOIN range(1, 65) r(i)
+),
+cent AS (
+    SELECT source, dim,
+           CAST(FLOOR(SUM(xfp6) * 1.0 / COUNT(*)) AS BIGINT) AS cfp6
+    FROM long GROUP BY 1, 2
+),
+per_vec AS (
+    SELECT l.source, l.vec_id,
+           SUM(l.xfp6 * c.cfp6) AS dot_fp,
+           SUM(l.xfp6 * l.xfp6) AS nx_fp,
+           SUM(c.cfp6 * c.cfp6) AS nc_fp
+    FROM long l JOIN cent c USING (source, dim)
+    GROUP BY 1, 2
+),
+cos AS (
+    SELECT source, vec_id, nc_fp,
+           dot_fp / (sqrt(CAST(nx_fp AS DOUBLE)) * sqrt(CAST(nc_fp AS DOUBLE)))
+               AS cosv
+    FROM per_vec
+)
+SELECT source,
+       CAST(COUNT(*) AS INT) AS n_vecs,
+       ROUND(sqrt(CAST(ANY_VALUE(nc_fp) AS DOUBLE)) / {float(FP6)}, 6)
+           AS centroid_norm,
+       ROUND(AVG(cosv), 6) AS mean_cos,
+       ROUND(MIN(cosv), 6) AS min_cos
+FROM cos
+GROUP BY source
+ORDER BY source"""

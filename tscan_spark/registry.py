@@ -1699,3 +1699,23 @@ def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep accounting: doc-grain quality aggregate, source-grain
     percentile, broadcast threshold join."""
     return textstats.quality_quantile_gate(spark, sf_dir)
+
+
+from tscan_spark.operators import collocation as _collocation  # noqa: E402
+from tscan_spark.operators import drift as _drift_ops  # noqa: E402
+
+
+@query("pmi_collocations", oracle=_collocation.SQL_PMI_COLLOCATIONS)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocations over the corpus's own unigram model:
+    one token pass + doc-bounded lead window, vocabulary-grain counts
+    broadcast twice into the gated pair scoring."""
+    return _collocation.pmi_collocations(spark, sf_dir)
+
+
+@query("source_embedding_drift", oracle=_drift_ops.sql_source_embedding_drift())
+def q_source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid + cosine cohesion on the FP6
+    integer quantizer (reduction-order-free, oracle-exact); one
+    embeddings pass, sources x dims centroid broadcast back."""
+    return _drift_ops.source_embedding_drift(spark, sf_dir)
