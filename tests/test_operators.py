@@ -1387,3 +1387,16 @@ def test_source_embedding_drift_matches_oracle(spark, oracle):
     assert (pdf["min_cos"] <= pdf["mean_cos"]).all()
     assert (pdf["centroid_norm"] > 0).all()
     assert (pdf["n_vecs"] > 0).all()
+
+
+def test_rel_shipping_priority_matches_oracle(spark, oracle):
+    df = QUERIES["rel_shipping_priority"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["rel_shipping_priority"])
+    pdf = df.toPandas()
+    assert (pdf["revenue"] > 0).all()
+    assert pdf["revenue"].is_monotonic_decreasing
+
+
+def test_rel_local_supplier_volume_matches_oracle(spark, oracle):
+    df = QUERIES["rel_local_supplier_volume"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["rel_local_supplier_volume"])

@@ -153,3 +153,14 @@ def test_multimodal_passes_are_narrow(spark):
     frames = _plan(QUERIES["multimodal_frame_sample"](spark, SF_DIR))
     assert "ArrowEvalPython" in frames or "MapInPandas" in frames, frames
     assert "Exchange hashpartitioning" not in frames, frames
+
+
+def test_q3_pushes_date_predicates_and_broadcasts(spark):
+    """The Q3 shape's scale claims: date filters reach both fact scans
+    (PushedFilters on o_orderdate and l_shipdate) and the filtered
+    customer dimension broadcasts."""
+    plan = _plan(QUERIES["rel_shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:200] or \
+        "LessThan(o_orderdate" in plan, plan
+    assert "GreaterThan(l_shipdate" in plan, plan

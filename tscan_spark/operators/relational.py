@@ -135,3 +135,123 @@ SELECT c_custkey, c_name
 FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 ORDER BY c_custkey"""
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+Q3_TOP = 10
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: the canonical 3-table
+    selective join (customer filter -> orders date filter -> lineitem
+    date filter), revenue per order, top-N.
+
+    Scale notes: both date predicates push to the parquet scans
+    (PushedFilters); customer is the broadcast side; revenue
+    accumulates in 1e6 fixed-point BIGINT so the top-N ordering is
+    EXACT-INTEGER deterministic (a float revenue sort would tie rank
+    assignment to summation order), with l_orderkey as tie-break.
+    """
+    cust = corpus.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = corpus.load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < Q3_DATE
+    )
+    li = corpus.load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > Q3_DATE)
+    j = li.join(
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    rev_fp = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1e6, 0
+        ).cast("long")
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_fp.alias("rev_fp"))
+        .orderBy(F.desc("rev_fp"), F.asc("l_orderkey"))
+        .limit(Q3_TOP)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_fp") / 1e6, 6).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 1e6, 0)
+                 AS BIGINT)) / 1e6, 6) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 1e6, 0)
+             AS BIGINT)) DESC, l_orderkey ASC
+LIMIT {Q3_TOP}"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local supplier volume: the 5-table star
+    (customer, orders, lineitem, supplier, nation) with the
+    same-nation residual (c_nationkey = s_nationkey), revenue per
+    nation.  Dimensions broadcast; the two facts join on l_orderkey;
+    fixed-point exact sums.
+    """
+    cust = corpus.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = corpus.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = corpus.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = corpus.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = corpus.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+    )
+    rev_fp = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1e6, 0
+        ).cast("long")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            rev_fp.alias("rev_fp"), F.count(F.lit(1)).cast("long").alias("n_items")
+        )
+        .select(
+            "n_name", F.round(F.col("rev_fp") / 1e6, 6).alias("revenue"), "n_items"
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 1e6, 0)
+                 AS BIGINT)) / 1e6, 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY n_name"""

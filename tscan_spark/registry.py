@@ -1719,3 +1719,17 @@ def q_source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer quantizer (reduction-order-free, oracle-exact); one
     embeddings pass, sources x dims centroid broadcast back."""
     return _drift_ops.source_embedding_drift(spark, sf_dir)
+
+
+@query("rel_shipping_priority", oracle=relational.SQL_SHIPPING_PRIORITY)
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-table join with pushed date
+    predicates, broadcast customer filter, exact-integer top-N."""
+    return relational.shipping_priority(spark, sf_dir)
+
+
+@query("rel_local_supplier_volume", oracle=relational.SQL_LOCAL_SUPPLIER_VOLUME)
+def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star with the same-nation residual,
+    broadcast dimensions, fixed-point exact revenue."""
+    return relational.local_supplier_volume(spark, sf_dir)
