@@ -1400,3 +1400,48 @@ def test_rel_shipping_priority_matches_oracle(spark, oracle):
 def test_rel_local_supplier_volume_matches_oracle(spark, oracle):
     df = QUERIES["rel_local_supplier_volume"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["rel_local_supplier_volume"])
+
+
+def test_lang_label_audit_matches_oracle(spark, oracle):
+    """Oracle match + shares sum to 1 per declared lang and counts
+    reconcile with the documents table."""
+    df = QUERIES["lang_label_audit"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["lang_label_audit"])
+    pdf = df.toPandas()
+    per = pdf.groupby("lang")[["share", "n_docs"]].sum()
+    assert ((per["share"] - 1.0).abs() < 1e-4).all()
+    from tscan_spark import corpus
+
+    n = corpus.load(spark, SF_DIR, "documents").count()
+    assert int(per["n_docs"].sum()) == n
+
+
+def test_jsonl_roundtrip_matches_oracle(spark, oracle):
+    """The JSONL write/read round trip is lossless: the schema-enforced
+    re-read's per-source digests equal the oracle's digests computed
+    from the ORIGINAL parquet."""
+    df = QUERIES["jsonl_roundtrip"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["jsonl_roundtrip"])
+
+
+def test_jsonl_reader_surfaces_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE mode with an explicit schema: a corrupt line becomes
+    a null row, not a job failure."""
+    from tscan_spark.sources.textio import DOCS_SCHEMA
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "a b", "lang": "en", "source": "s", "n_chars": 3}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "c", "lang": "en", "source": "s", "n_chars": 1}\n'
+    )
+    raw = (
+        spark.read.schema(DOCS_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = raw.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None

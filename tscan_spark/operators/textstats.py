@@ -731,3 +731,61 @@ SELECT s.source,
 FROM scored s JOIN thr t USING (source)
 GROUP BY s.source
 ORDER BY s.source"""
+
+
+# ---------------------------------------------------------------------------
+# label-quality audit: declared lang vs predicted lang
+# ---------------------------------------------------------------------------
+
+
+def lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion summary between the DECLARED ``lang`` column and the
+    engine's ``lang_id`` prediction.
+
+    Web-crawl metadata lies; auditing declared labels against an
+    independent classifier is the first label-quality gate a training
+    pipeline runs (mislabeled docs poison per-language mixes).  One
+    row per (declared, predicted) pair with counts and the share of
+    the declared label's docs — a disagreement row with a large share
+    flags a systematically mislabeled slice.
+
+    Plan: the lang_id doc-grain aggregate + a broadcast-joinable
+    (doc_id, lang) projection + ONE (lang, pred_lang) aggregate;
+    corpus touched once.
+    """
+    docs = corpus.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    joined = docs.join(pred, "doc_id")
+    per_lang = joined.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        joined.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_docs"))
+        .join(F.broadcast(per_lang), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_lang"), 6).alias("share"),
+            (F.col("lang") == F.col("pred_lang")).alias("agree"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def sql_lang_label_audit() -> str:
+    return f"""
+WITH pred AS (
+    SELECT doc_id, pred_lang FROM ({sql_lang_id()})
+),
+joined AS (
+    SELECT d.lang, p.pred_lang
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+),
+per_lang AS (SELECT lang, COUNT(*) AS n_lang FROM joined GROUP BY 1)
+SELECT j.lang, j.pred_lang,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       ROUND(COUNT(*) * 1.0 / ANY_VALUE(p.n_lang), 6) AS share,
+       j.lang = j.pred_lang AS agree
+FROM joined j JOIN per_lang p USING (lang)
+GROUP BY j.lang, j.pred_lang
+ORDER BY j.lang, j.pred_lang"""

@@ -1733,3 +1733,22 @@ def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-table star with the same-nation residual,
     broadcast dimensions, fixed-point exact revenue."""
     return relational.local_supplier_volume(spark, sf_dir)
+
+
+@query("lang_label_audit", oracle=textstats.sql_lang_label_audit())
+def q_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language confusion summary (metadata
+    label-quality gate): lang_id doc aggregate + one (lang, pred)
+    aggregate, corpus touched once."""
+    return textstats.lang_label_audit(spark, sf_dir)
+
+
+from tscan_spark.sources import textio as _textio  # noqa: E402
+
+
+@query("jsonl_roundtrip", oracle=_textio.SQL_JSONL_ROUNDTRIP)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source contract: write documents as JSONL, read back under
+    the pinned explicit schema, prove losslessness with order-free
+    per-source content digests the oracle recomputes from parquet."""
+    return _textio.jsonl_roundtrip(spark, sf_dir)

@@ -1,0 +1,93 @@
+"""Text-format document sources: JSONL (and CSV) ingestion contracts.
+
+The reference ingests FoLiA XML (and plain text via Frog); a web-scale
+pipeline's interchange format is JSONL — one document object per line,
+splittable, schema-on-read.  This module pins the engine's JSONL
+contract: an EXPLICIT schema passed to the reader (never inferSchema —
+schema inference is a full extra pass over 100 TB and type-drifts on
+dirty data), permissive mode with a corrupt-record column so bad lines
+surface as data instead of job failures.
+
+``jsonl_roundtrip`` is the registered demonstration: write the
+documents table as JSONL, read it back under the pinned schema, and
+prove losslessness with per-source content digests that a DuckDB
+oracle recomputes from the original parquet.  At production scale the
+write is the ingest job's output contract; the read is the next
+stage's scan (same splittable parallelism as parquet, minus columnar
+pruning — which is why staging tables convert to parquet after
+validation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tscan_spark import corpus
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def write_jsonl(docs: DataFrame, path: str) -> None:
+    docs.write.mode("overwrite").json(path)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-enforced permissive JSONL scan of the documents table."""
+    return (
+        spark.read.schema(DOCS_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .drop("_corrupt_record")
+    )
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> JSONL -> schema-enforced read -> per-source digest.
+
+    The digest (doc count, char total, xor-free ORDER-FREE sum of text
+    content hashes mod p) is reduction-order independent, so equality
+    with the oracle (computed from the ORIGINAL parquet) proves the
+    JSONL round trip preserved every row's content.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/tscan_jsonl_{tag}"
+    docs = corpus.load(spark, sf_dir, "documents")
+    write_jsonl(docs, path)
+    back = read_documents_jsonl(spark, path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            (F.sum(corpus.content_hash_expr("text")) % corpus.HASH_MOD)
+            .cast("long")
+            .alias("content_digest"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_JSONL_ROUNDTRIP = f"""
+SELECT source,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM({corpus.sql_content_hash("text")}) % {corpus.HASH_MOD} AS BIGINT)
+           AS content_digest
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
