@@ -1445,3 +1445,48 @@ def test_jsonl_reader_surfaces_corrupt_lines(spark, tmp_path):
     assert len(rows) == 3
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(bad) == 1 and bad[0]["doc_id"] is None
+
+
+def test_csv_roundtrip_lossless(spark, tmp_path):
+    """CSV write/read with explicit schema + RFC-4180 quoting preserves
+    every row (same digest check as the JSONL contract)."""
+    from tscan_spark import corpus
+    from tscan_spark.sources import textio
+
+    docs = corpus.load(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_csv")
+    textio.write_csv(docs, path)
+    back = textio.read_documents_csv(spark, path)
+    import pyspark.sql.functions as F
+
+    def digest(df):
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(corpus.content_hash_expr("text")) % corpus.HASH_MOD).alias(
+                    "d"
+                ),
+            )
+            .orderBy("source")
+            .collect()
+        )
+
+    assert digest(back) == digest(docs)
+
+
+def test_hll_distinct_within_documented_error(spark):
+    """The documented scale path for corpus-wide distinct counts
+    (approx_count_distinct, drift.py docstring) stays within its
+    configured rsd against the exact count."""
+    import pyspark.sql.functions as F
+
+    from tscan_spark import corpus
+
+    tok = corpus.tokens_long(corpus.load(spark, SF_DIR, "documents"))
+    row = tok.agg(
+        F.countDistinct("word").alias("exact"),
+        F.approx_count_distinct("word", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel_err < 0.06, (row["exact"], row["approx"], rel_err)

@@ -91,3 +91,32 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+CSV_OPTIONS = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "multiLine": "false",
+    "mode": "PERMISSIVE",
+}
+
+
+def write_csv(docs: DataFrame, path: str) -> None:
+    w = docs.write.mode("overwrite")
+    for k, v in CSV_OPTIONS.items():
+        if k not in ("mode",):
+            w = w.option(k, v)
+    w.csv(path)
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-enforced CSV scan (header + RFC-4180 quoting); the same
+    explicit-schema rule as JSONL — inferSchema is a second full pass
+    and type-drifts on dirty data."""
+    r = spark.read.schema(
+        T.StructType([f for f in DOCS_SCHEMA if f.name != "_corrupt_record"])
+    )
+    for k, v in CSV_OPTIONS.items():
+        r = r.option(k, v)
+    return r.csv(path)
