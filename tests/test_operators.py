@@ -1490,3 +1490,11 @@ def test_hll_distinct_within_documented_error(spark):
     ).collect()[0]
     rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
     assert rel_err < 0.06, (row["exact"], row["approx"], rel_err)
+
+
+def test_corpus_stats_summary_matches_oracle(spark, oracle):
+    df = QUERIES["corpus_stats_summary"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES["corpus_stats_summary"])
+    row = df.toPandas().iloc[0]
+    assert row["n_tokens"] >= row["n_docs"] >= 1
+    assert row["n_vocab"] <= row["n_tokens"]

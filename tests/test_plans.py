@@ -164,3 +164,25 @@ def test_q3_pushes_date_predicates_and_broadcasts(spark):
     assert "o_orderdate" in plan.split("PushedFilters")[1][:200] or \
         "LessThan(o_orderdate" in plan, plan
     assert "GreaterThan(l_shipdate" in plan, plan
+
+
+def test_partitioned_corpus_layout_prunes(spark, tmp_path_factory):
+    """The 100 TB layout story: documents written partitionBy(source)
+    + sortWithinPartitions(doc_id); a source-filtered read shows
+    PartitionFilters at the scan (directory pruning — the filtered
+    sources are never opened)."""
+    out = str(tmp_path_factory.mktemp("part_corpus") / "docs")
+    docs = corpus.load(spark, SF_DIR, "documents")
+    (
+        docs.repartition("source")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("source")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(F.col("source") == "src3")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "src3" in seg, seg
+    assert back.count() == docs.where(F.col("source") == "src3").count()

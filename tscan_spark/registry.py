@@ -1752,3 +1752,30 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pinned explicit schema, prove losslessness with order-free
     per-source content digests the oracle recomputes from parquet."""
     return _textio.jsonl_roundtrip(spark, sf_dir)
+
+
+@query(
+    "corpus_stats_summary",
+    oracle=f"""
+WITH {__import__('tscan_spark.corpus', fromlist=['corpus']).SQL_TOK_CTE}
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_vocab,
+       CAST(COUNT(DISTINCT source) AS INT) AS n_sources,
+       ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT doc_id), 6) AS avg_doc_len
+FROM tok""",
+)
+def q_corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus overview (the engine's `DESCRIBE corpus` entry
+    point): a single token-grain pass with combined distinct
+    aggregates."""
+    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    return tok.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("word").cast("long").alias("n_vocab"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("doc_id"), 6
+        ).alias("avg_doc_len"),
+    )
