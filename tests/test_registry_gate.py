@@ -65,3 +65,15 @@ def test_correctness_head_ledger_covers_registry():
     )
     not_ok = {n: v for n, v in results.items() if v != "OK"}
     assert not not_ok, f"sweep ledger has non-OK verdicts: {not_ok}"
+
+
+def test_gate_rotation_prefix_leads_registry():
+    """Round-5 rotation pin: the driver gate hashes the first ~50
+    QUERIES entries in iteration order, so the never-driver-hashed
+    queries must actually lead the dict (VERDICT r04 'What's wrong' #1).
+    """
+    from tscan_spark.registry import _GATE_ROTATION_PREFIX
+
+    QUERIES, _ = _registry()
+    assert len(_GATE_ROTATION_PREFIX) == 50
+    assert list(QUERIES)[:50] == _GATE_ROTATION_PREFIX
