@@ -1140,6 +1140,21 @@ def test_tfidf_keywords_semantics(spark):
         assert tf_val == r.tf
         want = tf_val * math.log(n_docs / dfreq[r.word])
         assert abs(r.tfidf - want) < 1e-8
+    # true top-k-ness (round-4 advice): the returned words ARE the
+    # per-doc tfidf top-k under the fixed-point order, rank-aligned
+    tf["score_fp"] = tf.apply(
+        lambda row: round(
+            row["tf"] * math.log(n_docs / dfreq[row["word"]]) * 1e9
+        ),
+        axis=1,
+    )
+    for doc_id, got in df.groupby("doc_id"):
+        cand = tf[tf["doc_id"] == doc_id].sort_values(
+            ["score_fp", "word"], ascending=[False, True]
+        )
+        want_words = list(cand["word"].head(TFIDF_TOP_K))
+        got_words = list(got.sort_values("rank")["word"])
+        assert got_words == want_words, (doc_id, got_words, want_words)
 
 
 def test_dsir_importance_semantics(spark, oracle):
@@ -1473,6 +1488,40 @@ def test_csv_roundtrip_lossless(spark, tmp_path):
         )
 
     assert digest(back) == digest(docs)
+
+
+def test_csv_contract_header_validation_and_null_vs_empty(spark, tmp_path):
+    """Round-4 advice pins: (a) a reordered/foreign CSV header fails
+    loudly instead of silently transposing columns (enforceSchema=
+    false); (b) empty-string text survives the round trip as '' while
+    NULL survives as NULL (explicit nullValue sentinel)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from tscan_spark.sources import textio
+
+    rows = [
+        (1, "hello", "nl", "src0", 5),
+        (2, "", "nl", "src0", 0),
+        (3, None, "en", "src1", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "docs_csv2")
+    # writer owns the layout even if the caller projects columns oddly
+    textio.write_csv(docs.select("text", "doc_id", "n_chars", "lang", "source"), path)
+    back = {r["doc_id"]: r for r in textio.read_documents_csv(spark, path).collect()}
+    assert back[1]["text"] == "hello"
+    assert back[2]["text"] == ""
+    assert back[3]["text"] is None and back[3]["n_chars"] is None
+
+    # a CSV whose header doesn't match the pinned schema errors loudly
+    bad = str(tmp_path / "bad_csv")
+    with open(bad + ".csv", "w") as f:
+        f.write("text,doc_id,lang,source,n_chars\nx,1,nl,src0,1\n")
+    with pytest.raises(Exception):
+        textio.read_documents_csv(spark, bad + ".csv").collect()
 
 
 def test_hll_distinct_within_documented_error(spark):

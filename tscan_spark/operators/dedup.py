@@ -1062,13 +1062,19 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("n_both"),
+        # empty ground truth => recall is vacuously 1.0, emitted
+        # explicitly rather than NULL-by-zero-division (round-4 advice)
         F.round(
-            F.sum(
-                (
-                    F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull()
-                ).cast("int")
-            )
-            / F.coalesce(F.sum("in_exact"), F.lit(0)),
+            F.when(
+                F.coalesce(F.sum("in_exact"), F.lit(0)) > 0,
+                F.sum(
+                    (
+                        F.col("in_exact").isNotNull()
+                        & F.col("in_lsh").isNotNull()
+                    ).cast("int")
+                )
+                / F.sum("in_exact"),
+            ).otherwise(F.lit(1.0)),
             6,
         ).alias("lsh_recall"),
     )
@@ -1090,7 +1096,10 @@ SELECT CAST(COALESCE(SUM(in_exact), 0) AS INT) AS n_exact,
        CAST(COALESCE(SUM(in_lsh), 0) AS INT) AS n_lsh,
        CAST(SUM(CASE WHEN in_exact IS NOT NULL AND in_lsh IS NOT NULL
                      THEN 1 ELSE 0 END) AS INT) AS n_both,
-       ROUND(SUM(CASE WHEN in_exact IS NOT NULL AND in_lsh IS NOT NULL
-                      THEN 1 ELSE 0 END) * 1.0
-             / COALESCE(SUM(in_exact), 0), 6) AS lsh_recall
+       ROUND(CASE WHEN COALESCE(SUM(in_exact), 0) > 0
+                  THEN SUM(CASE WHEN in_exact IS NOT NULL
+                                AND in_lsh IS NOT NULL
+                                THEN 1 ELSE 0 END) * 1.0
+                       / SUM(in_exact)
+                  ELSE CAST(1.0 AS DOUBLE) END, 6) AS lsh_recall
 FROM exact FULL OUTER JOIN lsh USING (doc_a, doc_b)"""

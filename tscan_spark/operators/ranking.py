@@ -82,11 +82,16 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
         )
     )
+    # per-term fixed-point encode BEFORE the sum so the per-doc
+    # reduction is an exact integer add — reduction-order-free across
+    # shuffles and engines (round-4 advice; same convention as the
+    # similarity/drift families)
+    term_fp = F.round(term_score * F.lit(1e9), 0).cast("long")
     out = (
         hits.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_hits"),
-            F.round(F.sum(term_score), 9).alias("bm25"),
+            F.round(F.sum(term_fp) / F.lit(1e9), 9).alias("bm25"),
         )
         .orderBy("doc_id")
     )
@@ -114,10 +119,12 @@ qd AS (
 )
 SELECT tf.doc_id,
        CAST(COUNT(*) AS INT) AS n_hits,
-       ROUND(SUM(qd.idf * (tf.tf * (CAST({BM25_K1} AS DOUBLE) + CAST(1.0 AS DOUBLE))
+       ROUND(SUM(CAST(ROUND(
+           qd.idf * (tf.tf * (CAST({BM25_K1} AS DOUBLE) + CAST(1.0 AS DOUBLE))
                  / (tf.tf + CAST({BM25_K1} AS DOUBLE)
                     * (CAST(1.0 AS DOUBLE) - CAST({BM25_B} AS DOUBLE)
-                       + CAST({BM25_B} AS DOUBLE) * dl.dl / tot.avgdl)))), 9) AS bm25
+                       + CAST({BM25_B} AS DOUBLE) * dl.dl / tot.avgdl)))
+           * 1e9) AS BIGINT)) / 1e9, 9) AS bm25
 FROM tf
 JOIN qd USING (word)
 JOIN dl USING (doc_id)
@@ -153,13 +160,18 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the top-k is a window partitioned BY doc_id — hash-partitioned,
       no global sort, scales with documents.
 
-    The rank ordering is integer-deterministic on purpose: (tf DESC,
-    df ASC, word ASC).  tf*idf is monotone in tf and antitone in df,
-    so for a fixed document this agrees with the float ordering except
-    where two terms tie on BOTH counts — where the float scores are
-    exactly equal and the word breaks the tie.  Ordering by the float
-    itself would make rank assignment depend on cross-engine ULP
-    differences in ln().
+    The rank ordering is the ACTUAL tf*idf score, made
+    integer-deterministic by fixed-point encoding:
+    ``CAST(ROUND(tf * ln(n_docs/df) * 1e9) AS BIGINT) DESC, word ASC``
+    with the identical expression on both engines.  (An earlier version
+    ordered by (tf DESC, df ASC) claiming it agreed with the float
+    order — false in general: product order != lexicographic order, so
+    a term present in every doc (idf = 0) with high tf outranked rare
+    high-tfidf terms.  Round-4 advice; fixed round 5 with a true-top-k
+    semantics test in tests/test_ranking_semantics.py.)  Ordering by
+    the raw double would make ranks depend on cross-engine ULP
+    differences in ln(); the 1e-9 grid is far coarser than the ~1e-15
+    relative ULP error, so both engines land on the same integer.
     """
     docs = corpus.load(spark, sf_dir, "documents")
     tok = corpus.tokens_long(docs).select("doc_id", "word")
@@ -176,9 +188,10 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tf"), F.asc("df"), F.asc("word")
+    scored = scored.withColumn(
+        "score_fp", F.round(F.col("tfidf") * F.lit(1e9), 0).cast("long")
     )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), F.asc("word"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TFIDF_TOP_K)
@@ -205,7 +218,10 @@ scored AS (
                AS tfidf,
            ROW_NUMBER() OVER (
                PARTITION BY tf.doc_id
-               ORDER BY tf.tf DESC, by_word.df ASC, tf.word ASC
+               ORDER BY CAST(ROUND(
+                   tf.tf * ln(CAST(tot.n_docs AS DOUBLE)
+                              / CAST(by_word.df AS DOUBLE)) * 1e9
+               ) AS BIGINT) DESC, tf.word ASC
            ) AS rank
     FROM tf JOIN by_word USING (word) CROSS JOIN tot
 )

@@ -114,19 +114,29 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
     )
+    # fixed-point encode lam at the (tiny) bucket grain so the per-doc
+    # sum of hundreds of lam terms is an exact BIGINT add —
+    # reduction-order-free across shuffles and engines (round-4 advice;
+    # same convention as the similarity/drift families)
     lam = counts.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        F.log(
-            ((F.col("cnt_tgt") + one) / (F.col("tot_tgt") + nb))
-            / ((F.col("cnt_raw") + one) / (F.col("tot_raw") + nb))
-        ).alias("lam"),
+        F.round(
+            F.log(
+                ((F.col("cnt_tgt") + one) / (F.col("tot_tgt") + nb))
+                / ((F.col("cnt_raw") + one) / (F.col("tot_raw") + nb))
+            )
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("lam_fp"),
     )
     out = (
         feats.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_feat"),
-            F.round(F.sum("lam"), 9).alias("dsir_logw"),
+            F.round(F.sum("lam_fp") / F.lit(1e9), 9).alias("dsir_logw"),
         )
         .orderBy("doc_id")
     )
@@ -157,15 +167,16 @@ counts AS (
 tot AS (SELECT SUM(cnt_raw) AS tot_raw, SUM(cnt_tgt) AS tot_tgt FROM counts),
 lam AS (
     SELECT bucket,
-           ln(((cnt_tgt + CAST(1.0 AS DOUBLE))
+           CAST(ROUND(ln(((cnt_tgt + CAST(1.0 AS DOUBLE))
                / (tot_tgt + CAST({N_BUCKETS}.0 AS DOUBLE)))
               / ((cnt_raw + CAST(1.0 AS DOUBLE))
-                 / (tot_raw + CAST({N_BUCKETS}.0 AS DOUBLE)))) AS lam
+                 / (tot_raw + CAST({N_BUCKETS}.0 AS DOUBLE)))) * 1e9)
+               AS BIGINT) AS lam_fp
     FROM counts CROSS JOIN tot
 )
 SELECT feats.doc_id,
        CAST(COUNT(*) AS INT) AS n_feat,
-       ROUND(SUM(lam.lam), 9) AS dsir_logw
+       ROUND(SUM(lam.lam_fp) / 1e9, 9) AS dsir_logw
 FROM feats JOIN lam USING (bucket)
 GROUP BY 1
 ORDER BY doc_id

@@ -63,8 +63,15 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle (computed from the ORIGINAL parquet) proves the
     JSONL round trip preserved every row's content.
     """
+    import uuid
+
+    # per-run unique path: the write is eager but the returned frame's
+    # read is deferred, so a shared fixed path would let a concurrent
+    # run overwrite the directory between this write and our read
+    # (round-4 advice); app id scopes per session, uuid per call
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/tscan_jsonl_{tag}"
+    run = f"{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}"
+    path = f"/tmp/tscan_jsonl_{tag}_{run}"
     docs = corpus.load(spark, sf_dir, "documents")
     write_jsonl(docs, path)
     back = read_documents_jsonl(spark, path)
@@ -99,11 +106,24 @@ CSV_OPTIONS = {
     "escape": '"',
     "multiLine": "false",
     "mode": "PERMISSIVE",
+    # disambiguate '' from NULL: nulls travel as an explicit sentinel,
+    # empty strings as a quoted empty field (round-4 advice — the
+    # default read nullValue '' silently turns empty text into NULL).
+    # emptyValue is deliberately NOT set: the write default already
+    # emits a quoted "" for empty strings and the read default maps a
+    # quoted-empty field back to '' — setting emptyValue='""' on READ
+    # would make Spark emit the literal two-character string instead.
+    "nullValue": "\\N",
 }
+
+CSV_SCHEMA = T.StructType([f for f in DOCS_SCHEMA if f.name != "_corrupt_record"])
 
 
 def write_csv(docs: DataFrame, path: str) -> None:
-    w = docs.write.mode("overwrite")
+    # write in pinned schema order: CSV columns are positional under an
+    # explicit read schema, so the writer — not the caller's projection
+    # order — owns the layout (round-4 advice)
+    w = docs.select(*[f.name for f in CSV_SCHEMA]).write.mode("overwrite")
     for k, v in CSV_OPTIONS.items():
         if k not in ("mode",):
             w = w.option(k, v)
@@ -113,10 +133,13 @@ def write_csv(docs: DataFrame, path: str) -> None:
 def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
     """Schema-enforced CSV scan (header + RFC-4180 quoting); the same
     explicit-schema rule as JSONL — inferSchema is a second full pass
-    and type-drifts on dirty data."""
-    r = spark.read.schema(
-        T.StructType([f for f in DOCS_SCHEMA if f.name != "_corrupt_record"])
-    )
+    and type-drifts on dirty data.
+
+    ``enforceSchema=false`` makes Spark VALIDATE the file header
+    against the explicit schema instead of applying it positionally —
+    a reordered or foreign CSV fails loudly rather than producing
+    silently transposed rows (round-4 advice)."""
+    r = spark.read.schema(CSV_SCHEMA).option("enforceSchema", "false")
     for k, v in CSV_OPTIONS.items():
         r = r.option(k, v)
     return r.csv(path)
