@@ -281,7 +281,7 @@ FROM base b JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)"""
 # token-budget bins (training "sequences" of PACK_BUDGET tokens). A
 # true first-fit pack is inherently sequential, so the distributed
 # contract is the standard streaming one: documents are sharded
-# deterministically (doc_id % PACK_SHARDS), ordered by doc_id within a
+# deterministically (doc_id % n_shards), ordered by doc_id within a
 # (source, shard), and a document starts the bin its exclusive prefix
 # token sum falls in: bin = floor(prefix_sum / PACK_BUDGET). Every bin
 # holds >= PACK_BUDGET - max_doc_tok and <= PACK_BUDGET + max_doc_tok
@@ -289,23 +289,60 @@ FROM base b JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)"""
 # `spill_tok` column is exactly that carry).
 #
 # Scale shape: the only window is a running sum partitioned by
-# (source, shard) — PACK_SHARDS bounds the sequential span per source,
-# so a 1000-executor run keeps every window task ~corpus/(sources *
-# shards) and no global sort exists. One token-count aggregate + one
-# window + one (source, shard, bin) hash aggregate.
+# (source, shard) — and the shard count is CARDINALITY-DERIVED, not a
+# constant (round-4 advice: a fixed 8 capped window parallelism at
+# sources*8 single-task running sums — ~80 tasks each streaming
+# ~1.25 TB at 100 TB / 10 sources).  `pack_shards_for` is the same
+# budget-math convention as similarity.n_planes_for: an exact integer
+# ceil-div of the corpus token count by (n_sources * target-per-shard),
+# so every (source, shard) window task streams <= ~PACK_TOKENS_PER_SHARD
+# tokens regardless of corpus size, and the oracle replays the identical
+# formula from its own COUNT.  One token-count aggregate + one
+# broadcast of the 1-row stats + one window + one (source, shard, bin)
+# hash aggregate — no global sort at any scale.
 
 PACK_BUDGET = 2048  # tokens per training sequence bin
-PACK_SHARDS = 8
+# production ceiling for a single (source, shard) running-sum task:
+# ~1e8 tokens ~ 400 MB of (doc_id, n_tok) pairs through one window task
+PACK_TOKENS_PER_SHARD = 100_000_000
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shards_expr(tokens_per_shard: int):
+    """shards = max(1, ceil(tot_tok / (n_src * tokens_per_shard))) as an
+    exact integer expression over the 1-row stats frame — `DIV` keeps
+    the whole derivation in BIGINT so both engines agree bit-for-bit
+    (no float log/ceil at a boundary)."""
+    return F.expr(
+        f"CAST(GREATEST(1, (tot_tok + n_src * {tokens_per_shard} - 1) "
+        f"DIV (n_src * {tokens_per_shard})) AS INT)"
+    )
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    tokens_per_shard: int = PACK_TOKENS_PER_SHARD,
+) -> DataFrame:
     """Greedy streaming sequence packing. Output per bin: source,
-    shard, bin_id, n_docs, n_tok_bin, fill, spill_tok."""
+    shard, bin_id, n_docs, n_tok_bin, fill, spill_tok.
+
+    ``tokens_per_shard`` bounds the token volume any single window task
+    streams; the shard count is derived from the corpus token count so
+    the plan keeps the same per-task budget at any scale."""
     tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
     docs = tok.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_tok")
     )
-    d = docs.withColumn("shard", (F.col("doc_id") % PACK_SHARDS).cast("int"))
+    stats = docs.agg(
+        F.sum("n_tok").cast("long").alias("tot_tok"),
+        F.countDistinct("source").cast("long").alias("n_src"),
+    )
+    d = docs.crossJoin(F.broadcast(stats)).withColumn(
+        "n_shards", _shards_expr(tokens_per_shard)
+    )
+    d = d.withColumn(
+        "shard", (F.col("doc_id") % F.col("n_shards")).cast("int")
+    )
     w = (
         Window.partitionBy("source", "shard")
         .orderBy("doc_id")
@@ -339,7 +376,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_pack_sequences() -> str:
+def sql_pack_sequences(tokens_per_shard: int = PACK_TOKENS_PER_SHARD) -> str:
+    # DuckDB's // is integer division on BIGINTs — the exact replay of
+    # Spark's DIV in _shards_expr
     return (
         "WITH "
         + corpus.SQL_TOK_CTE.strip()
@@ -348,14 +387,21 @@ docs AS (
     SELECT doc_id, source, COUNT(*) AS n_tok
     FROM tok GROUP BY doc_id, source
 ),
+stats AS (
+    SELECT CAST(GREATEST(1,
+               (SUM(n_tok) + COUNT(DISTINCT source) * {tokens_per_shard} - 1)
+               // (COUNT(DISTINCT source) * {tokens_per_shard})) AS INT)
+           AS n_shards
+    FROM docs
+),
 pre AS (
-    SELECT *,
-           CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+    SELECT docs.*,
+           CAST(doc_id % n_shards AS INT) AS shard,
            COALESCE(SUM(n_tok) OVER (
-               PARTITION BY source, doc_id % {PACK_SHARDS}
+               PARTITION BY source, doc_id % n_shards
                ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
-    FROM docs
+    FROM docs CROSS JOIN stats
 ),
 b AS (
     SELECT *, CAST(FLOOR(prefix / {PACK_BUDGET}) AS BIGINT) AS bin_id FROM pre

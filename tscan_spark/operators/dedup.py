@@ -820,44 +820,164 @@ FROM ntok n LEFT JOIN per_doc p ON p.doc_id = n.doc_id
 # pass must then pick ONE survivor per duplicate CLUSTER (pairs are not
 # transitive-closed: a~b, b~c without a~c still must collapse to one
 # keeper).  This operator closes that step: connected components over
-# the verified simhash near-dup edges via iterative min-label
-# propagation, then the canonical keep policy (lowest doc_id survives).
+# the verified simhash near-dup edges, then the canonical keep policy
+# (lowest doc_id survives).
 #
-# Spark shape: labels start as node ids; each round is one join of the
-# symmetrized edge list with current labels + one min-aggregate, i.e.
-# the classic hash-hash CC round.  Convergence is checked with a single
-# scalar (sum of labels) per round — rounds needed = cluster diameter,
-# and near-dup clusters are shallow (diameter <= a few hops).  At 10^12
-# scale you swap in the large-star/small-star algorithm (O(log n)
-# rounds, same per-round join shape) and checkpoint labels between
-# rounds to cut lineage; the registered plan is the same joins.
+# Algorithm (round 5): alternating LARGE-STAR / SMALL-STAR — the
+# MapReduce CC construction from Kiveris et al., "Connected Components
+# in MapReduce and Beyond" (SoCC'14; public knowledge, also the basis
+# of GraphFrames' CC).  Each half-round is one hash aggregate
+# (per-node neighborhood min) + one join back — the same per-round
+# join shape as plain min-label propagation, but the edge set itself
+# contracts toward a star per component, so convergence is O(log n)
+# ROUNDS instead of O(component diameter): an adversarial 10^6-long
+# duplicate chain converges in ~20 rounds, not 10^6.  The previous
+# min-label loop is kept as `_cc_min_label` for A/B (BENCH.md) and for
+# graphs known to be shallow.
+#
+#   large-star(u): m = min(N(u) ∪ {u}) over the SYMMETRIZED edges;
+#                  emit (v, m) for every neighbor v > u.
+#   small-star(u): edges directed large→small, so N(u) = smaller
+#                  neighbors; m = min(N(u) ∪ {u}); emit (v, m) for
+#                  v ∈ N(u), v ≠ m, plus (u, m).
+#
+# At the fixed point every component is a star centered on its minimum
+# node: edges ARE the (node → cluster_id) labels.
+#
+# Plan-growth control: every half-round materializes through
+# `_truncate` — reliable ``checkpoint(dir)`` when the caller configured
+# ``TSCAN_CC_CHECKPOINT_DIR`` (survives executor loss; the production
+# setting), ``localCheckpoint`` otherwise (single-JVM test default).
+# Either way the logical plan resets to a scan per round, so Catalyst
+# analysis stays O(1) per round (persist alone grows the plan
+# exponentially — observed round 4: sf0.1 hung in analysis).
+#
+# Convergence: the loop is BOUNDED at 2*ceil(log2(n_docs)) + 4
+# alternations (the theory guarantee), with an early exit on edge-set
+# fixed point checked via an order-free (count, bit_xor of pair hashes)
+# digest — one tiny aggregate per round over the already-materialized
+# checkpoint, not a label-sum barrier over a corpus-sized frame.
 #
 # DuckDB oracle: WITH RECURSIVE reachability — cluster id = MIN node id
 # reachable over undirected edges (UNION dedups, so it terminates).
 
-CC_MAX_ROUNDS = 20
+CC_MAX_ROUNDS = 20  # min-label fallback bound (diameter-limited graphs)
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment + keep verdict for every document.
+def _truncate(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its lineage: reliable checkpoint when
+    TSCAN_CC_CHECKPOINT_DIR is set (round-robin executor-loss-safe
+    parquet-backed RDD checkpoint), localCheckpoint otherwise."""
+    import os
 
-    Output: doc_id, cluster_id (min doc_id in the component; own id for
-    docs in no near-dup pair), cluster_size, is_keeper.
+    ckpt_dir = os.environ.get("TSCAN_CC_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _edge_digest(edges: DataFrame) -> tuple:
+    """Order-free fixed-point digest of a canonical (u > v) edge set."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+    ).collect()[0]
+    return (row["n"], row["x"])
+
+
+def _cc_two_phase(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star.
+
+    ``pairs``: one row per undirected edge (doc_a, doc_b), any
+    orientation.  Returns (labels, rounds): labels has one row per
+    non-isolated node — (node, label) with label = component minimum —
+    and ``rounds`` is the number of alternations executed (round-count
+    evidence for the O(log n) claim lands in tests + BENCH.md).
     """
-    pairs = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    # per-round localCheckpoint, NOT persist: persist caches the data
-    # but leaves the logical plan intact, so round k's plan embeds
-    # round k-1's — Catalyst analysis grows exponentially with rounds
-    # and the loop stalls once the graph's diameter needs >~10 rounds
-    # (observed: sf0.1 hung in analysis while sf0.001 converged).
-    # localCheckpoint truncates the plan to a LogicalRDD each round;
-    # a multi-executor deployment swaps in reliable checkpoint(dir)
-    # (same call shape) so rounds survive executor loss.
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = _truncate(edges)
+    n_nodes = max(
+        2,
+        edges.select(
+            F.countDistinct("u").alias("a"), F.countDistinct("v").alias("b")
+        )
+        .select(F.col("a") + F.col("b"))
+        .collect()[0][0]
+        or 2,
+    )
+    import math
+
+    max_rounds = 2 * math.ceil(math.log2(n_nodes)) + 4
+    digest = _edge_digest(edges)
+    rounds = 0
+    for _ in range(max_rounds):
+        # -- large-star: every neighbor larger than u links to
+        #    m = min(N(u) ∪ {u}) over the symmetrized neighborhood
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: edges already large→small; every smaller
+        #    neighbor (and u itself) links to the neighborhood min
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = _truncate(small)
+        rounds += 1
+        new_digest = _edge_digest(edges)
+        if new_digest == digest:
+            break
+        digest = new_digest
+    else:
+        raise RuntimeError(
+            f"two-phase CC did not converge in {max_rounds} rounds "
+            f"({n_nodes} nodes) — theory bound violated, refusing to "
+            "return possibly-unmerged clusters"
+        )
+    # fixed point = stars: (u → root) edges, roots have no out-edge
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = edges.select(F.col("v").alias("node")).subtract(
+        edges.select(F.col("u").alias("node"))
+    )
+    labels = labels.unionByName(
+        roots.select("node", F.col("node").alias("label"))
+    )
+    return labels, rounds
+
+
+def _cc_min_label(edges_sym: DataFrame) -> DataFrame:
+    """Round-4 min-label propagation (kept for A/B and shallow graphs):
+    O(component diameter) rounds, label-sum convergence barrier.
+    ``edges_sym`` must be symmetrized."""
     labels = (
-        edges.select(F.col("doc_a").alias("node"))
+        edges_sym.select(F.col("doc_a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
@@ -865,7 +985,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sum = None
     for _ in range(CC_MAX_ROUNDS):
         neigh = (
-            edges.join(labels, edges["doc_b"] == labels["node"])
+            edges_sym.join(labels, edges_sym["doc_b"] == labels["node"])
             .groupBy(F.col("doc_a").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
@@ -884,20 +1004,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if s == prev_sum:
             break
         prev_sum = s
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment + keep verdict for every document.
+
+    Output: doc_id, cluster_id (min doc_id in the component; own id for
+    docs in no near-dup pair), cluster_size, is_keeper.
+    """
+    pairs = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = _cc_two_phase(pairs)
     docs = _docs(spark, sf_dir).select("doc_id")
     out = docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
         "doc_id",
         F.coalesce("label", F.col("doc_id")).cast("long").alias("cluster_id"),
     )
     size_w = Window.partitionBy("cluster_id")
-    res = out.select(
+    return out.select(
         "doc_id",
         "cluster_id",
         F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
-    edges.unpersist()
-    return res
 
 
 def _sql_cluster_ctes() -> str:

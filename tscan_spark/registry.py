@@ -425,8 +425,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic streaming sequence packing into PACK_BUDGET-token
     bins per (source, shard): exclusive prefix-sum binning with spill
     carry — the batch-construction step before writing training
-    shards; shard count bounds every window task."""
+    shards; the shard count is derived from the corpus token count
+    (curation.PACK_TOKENS_PER_SHARD per window task, exact integer
+    formula replayed by the oracle's own COUNT) so no window task ever
+    streams more than the per-task token budget at any corpus size."""
     return curation.pack_sequences(spark, sf_dir)
+
+
+# a second shard count over the same corpus: the fine target forces
+# multiple shards even at test SF, proving the shard derivation and the
+# bin invariants hold across shardings (round-4 advice — the invariant
+# check across the two lives in tests/test_operators.py)
+PACK_FINE_TARGET = 256
+
+
+@query(
+    "pack_sequences_fine",
+    oracle=curation.sql_pack_sequences(tokens_per_shard=PACK_FINE_TARGET),
+)
+def q_pack_sequences_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences at a 256-token-per-shard budget: same operator,
+    cardinality-derived shard count > 1 at every test SF — the second
+    registered sharding the scale argument requires."""
+    return curation.pack_sequences(
+        spark, sf_dir, tokens_per_shard=PACK_FINE_TARGET
+    )
 
 
 @query("domain_mix_rates", oracle=curation.sql_domain_mix_rates())
