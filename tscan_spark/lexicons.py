@@ -37,32 +37,75 @@ BANDS = [
 ]
 
 
+def _ranked_with_total(counts: DataFrame, count_col: str) -> DataFrame:
+    """Two-stage distributed rank + total over a (word, count) frame.
+
+    Replaces the former global ``Window.orderBy`` row_number (round-4
+    advice: this function IS the snapshot builder, so "prebuilt at
+    production" did not excuse funneling a 10^9-word vocabulary through
+    one WindowExec task).  Scalable shape:
+
+    1. ``repartitionByRange`` on the rank order — partition i holds
+       rows that all order before partition i+1 (range boundaries from
+       Spark's deterministic reservoir sample; boundary placement only
+       affects balance, never rank values, because the key
+       (count, word) is unique per row);
+    2. per-partition row counts + count sums → cumulative offsets and
+       the corpus total, computed with windows over the
+       #partitions-row frame (constant size at ANY vocabulary size —
+       the same "window over the dimension" argument as
+       domain_mix_rates);
+    3. broadcast the offsets back; rank = partition offset +
+       row_number within the partition (window partitioned by pid —
+       every task ranks ~|vocab|/N rows in parallel).
+
+    Output: input columns + (wf_rank, wf_total)."""
+    n_parts = max(counts.sparkSession.sparkContext.defaultParallelism, 8)
+    ranged = counts.repartitionByRange(
+        n_parts, F.desc(count_col), F.asc("word")
+    ).withColumn("pid", F.spark_partition_id())
+    per = ranged.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(count_col).alias("csum"),
+    )
+    # windows over <= n_parts rows: constant at any corpus scale
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    off = per.select(
+        "pid",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("rank_offset"),
+        F.sum("csum").over(w_all).cast("double").alias("wf_total"),
+    )
+    w_in = Window.partitionBy("pid").orderBy(F.desc(count_col), F.asc("word"))
+    return (
+        ranged.join(F.broadcast(off), "pid")
+        .withColumn(
+            "wf_rank",
+            (F.row_number().over(w_in) + F.col("rank_offset")).cast("int"),
+        )
+        .drop("pid", "rank_offset")
+    )
+
+
 def word_freq(documents: DataFrame) -> DataFrame:
     """Per-word corpus frequency with Laplace log-frequency and rank.
 
     Output: (word, wf_count, wf_rank, wf_freq_log) — deterministic rank
-    via (count DESC, word ASC) tie-break.
+    via (count DESC, word ASC) tie-break, computed with the two-stage
+    distributed rank (no vocabulary-sized single-partition window).
     """
     tok = tokens_long(documents)
     counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wf_count"))
-    # corpus total = sum over the vocabulary-sized aggregate — derived
-    # WITHOUT a second corpus scan (one parquet scan builds the whole
-    # lexicon); the rank/total windows run on ~|vocab| rows, so the
-    # single partition is fine. At production scale this entire function
-    # is a prebuilt snapshot table (see operators/asof.py).
-    w = Window.orderBy(F.desc("wf_count"), F.asc("word"))
-    w_all = Window.partitionBy()
-    return counts.select(
+    ranked = _ranked_with_total(counts, "wf_count")
+    return ranked.select(
         "word",
         "wf_count",
-        F.row_number().over(w).alias("wf_rank"),
-        freq_log("wf_count", F.sum("wf_count").over(w_all).cast("double")).alias(
-            "wf_freq_log"
-        ),
+        "wf_rank",
+        freq_log("wf_count", F.col("wf_total")).alias("wf_freq_log"),
         # corpus total, carried on the dim so downstream freq-log of
         # lexicon-missing keys (compound heads, tscan.cxx:1786-1798)
         # needs no second corpus scan
-        F.sum("wf_count").over(w_all).cast("double").alias("wf_total"),
+        "wf_total",
     )
 
 
@@ -80,15 +123,15 @@ def word_freq_from_file(spark, path: str, freq_clip: float = 0.0) -> DataFrame:
     from tscan_spark.sources.lexicon_files import load_freqlex
 
     df = load_freqlex(spark, path, freq_clip=freq_clip)
-    w = Window.orderBy(F.desc("count"), F.asc("word"))
-    w_all = Window.partitionBy()
-    total = F.sum("count").over(w_all).cast("double")
-    return df.select(
+    ranked = _ranked_with_total(
+        df.select("word", F.col("count").alias("wf_count")), "wf_count"
+    )
+    return ranked.select(
         "word",
-        F.col("count").alias("wf_count"),
-        F.row_number().over(w).alias("wf_rank"),
-        freq_log("count", total).alias("wf_freq_log"),
-        total.alias("wf_total"),
+        "wf_count",
+        "wf_rank",
+        freq_log("wf_count", F.col("wf_total")).alias("wf_freq_log"),
+        "wf_total",
     )
 
 
@@ -140,13 +183,13 @@ def lemma_freq(documents: DataFrame) -> DataFrame:
         annotate.lemma_expr(F.col("word")).alias("lemma")
     )
     counts = tok.groupBy("lemma").agg(F.count(F.lit(1)).alias("lf_count"))
-    w_all = Window.partitionBy()
-    return counts.select(
+    # total via a 1-row aggregate broadcast, not an unpartitioned
+    # window over the lemma vocabulary (round-4 advice family)
+    tot = counts.agg(F.sum("lf_count").cast("double").alias("lf_total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
         "lemma",
         "lf_count",
-        F.round(
-            freq_log("lf_count", F.sum("lf_count").over(w_all).cast("double")), 6
-        ).alias("lf_freq_log"),
+        F.round(freq_log("lf_count", F.col("lf_total")), 6).alias("lf_freq_log"),
     )
 
 
@@ -171,12 +214,38 @@ STAPH_BANDS = [("f50", 50.0), ("f65", 65.0), ("f77", 77.0), ("f80", 80.0)]
 
 
 def with_staph_bands(wf: DataFrame) -> DataFrame:
-    """Add cumulative-share percentage + band flags to a word_freq dim."""
-    w = Window.orderBy("wf_rank").rowsBetween(Window.unboundedPreceding, 0)
-    total = Window.partitionBy()
-    out = wf.withColumn(
-        "cum_pct",
-        F.sum("wf_count").over(w) * 100.0 / F.sum("wf_count").over(total),
+    """Add cumulative-share percentage + band flags to a word_freq dim.
+
+    The running sum by rank uses the same two-stage shape as
+    :func:`_ranked_with_total` (range-partition on rank, per-partition
+    offsets over the constant-size pid frame, within-partition running
+    sum) — no vocabulary-sized single-partition window."""
+    n_parts = max(wf.sparkSession.sparkContext.defaultParallelism, 8)
+    ranged = wf.repartitionByRange(n_parts, F.asc("wf_rank")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per = ranged.groupBy("pid").agg(F.sum("wf_count").alias("csum"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    off = per.select(
+        "pid",
+        F.coalesce(F.sum("csum").over(w_off), F.lit(0)).alias("cum_offset"),
+        F.sum("csum").over(w_all).alias("cum_total"),
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("wf_rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        ranged.join(F.broadcast(off), "pid")
+        .withColumn(
+            "cum_pct",
+            (F.col("cum_offset") + F.sum("wf_count").over(w_in))
+            * 100.0
+            / F.col("cum_total"),
+        )
+        .drop("pid", "cum_offset", "cum_total")
     )
     for band, thr in STAPH_BANDS:
         out = out.withColumn(f"is_{band}", (F.col("cum_pct") <= thr).cast("int"))

@@ -59,17 +59,22 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N merge candidates.  Output: rank, left_sym, right_sym,
     pair_cnt."""
     counts = _pair_counts(_vocab(spark, sf_dir))
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), THEN rank the surviving <= N_MERGES rows:
+    # the unpartitioned row_number window runs over a constant-size
+    # frame at any pair-vocabulary size (round-4 advice family — the
+    # old shape ranked the whole pair vocabulary in one window task)
+    top = counts.orderBy(
+        F.desc("pair_cnt"), F.asc("left_sym"), F.asc("right_sym")
+    ).limit(N_MERGES)
     w = Window.orderBy(
         F.desc("pair_cnt"), F.asc("left_sym"), F.asc("right_sym")
     )
-    return (
-        counts.select(
-            F.row_number().over(w).cast("int").alias("rank"),
-            "left_sym",
-            "right_sym",
-            "pair_cnt",
-        )
-        .where(F.col("rank") <= N_MERGES)
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "left_sym",
+        "right_sym",
+        "pair_cnt",
     )
 
 
