@@ -85,20 +85,42 @@ def main() -> None:
     # headline metric: documents (sequences) per second through the full
     # T-Scan document-feature ladder
     flag = timings.get("tscan_doc_features", total)
-    print(
-        json.dumps(
-            {
-                "metric": "doc_features_seq_per_sec",
-                "value": round(n_docs / flag, 2) if flag else None,
-                "unit": "sec",
-                "queries": timings,
-                "sf": args.sf_dir.rstrip("/").split("sf")[-1],
-                "total_sec": round(total, 3),
-                "cpus": int(args.cpus),
-                "n_docs": n_docs,
-            }
-        )
-    )
+    record = {
+        "metric": "doc_features_seq_per_sec",
+        "value": round(n_docs / flag, 2) if flag else None,
+        "unit": "sec",
+        "queries": timings,
+        "sf": args.sf_dir.rstrip("/").split("sf")[-1],
+        "total_sec": round(total, 3),
+        "cpus": int(args.cpus),
+        "n_docs": n_docs,
+    }
+    # full record to disk (BENCH_HEAD.json, the CORRECTNESS_HEAD.json
+    # convention): the driver's tail capture is ~2 KB, and round 4's
+    # 117-query line was ~4.5 KB — the captured front-truncated line
+    # parsed as null and the flagship number fell out of the record.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_HEAD.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    print(summary_line(record), flush=True)
+
+
+def summary_line(record: dict, budget: int = 1800) -> str:
+    """The ONE stdout JSON line, guaranteed to fit a ~2 KB tail capture:
+    all headline fields plus the slowest queries that fit the byte
+    budget (slowest first — they are what regression-watching reads);
+    the full per-query map lives in BENCH_HEAD.json."""
+    slim = {k: v for k, v in record.items() if k != "queries"}
+    slim["n_queries"] = len(record["queries"])
+    slim["queries_full"] = "BENCH_HEAD.json"
+    slim["queries"] = {}
+    by_cost = sorted(record["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+    for name, sec in by_cost:
+        slim["queries"][name] = sec
+        if len(json.dumps(slim)) > budget:
+            del slim["queries"][name]
+            break
+    return json.dumps(slim)
 
 
 if __name__ == "__main__":

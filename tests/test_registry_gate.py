@@ -77,3 +77,42 @@ def test_gate_rotation_prefix_leads_registry():
     QUERIES, _ = _registry()
     assert len(_GATE_ROTATION_PREFIX) == 50
     assert list(QUERIES)[:50] == _GATE_ROTATION_PREFIX
+
+
+def test_bench_head_record_and_summary_budget():
+    """BENCH_r04.json was truncation-nulled: the 117-query stdout line
+    exceeded the driver's ~2 KB tail capture. Pins: (a) bench.py writes
+    the full record to BENCH_HEAD.json (the CORRECTNESS_HEAD.json
+    convention) and the committed record parses with the flagship
+    metric present; (b) summary_line() keeps the stdout line under the
+    capture window even for a 300-query registry."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import summary_line
+
+    fake = {
+        "metric": "doc_features_seq_per_sec",
+        "value": 1234.5,
+        "unit": "sec",
+        "queries": {f"some_longish_query_name_{i:03d}": i / 7.0 for i in range(300)},
+        "sf": "0.1",
+        "total_sec": 99.9,
+        "cpus": 32,
+        "n_docs": 5000,
+    }
+    line = summary_line(fake)
+    assert len(line) <= 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == 1234.5 and parsed["n_queries"] == 300
+    assert parsed["queries"], "slowest-queries section missing"
+    # the slowest query always survives the budget cut
+    assert "some_longish_query_name_299" in parsed["queries"]
+
+    path = os.path.join(REPO, "BENCH_HEAD.json")
+    assert os.path.exists(path), (
+        "BENCH_HEAD.json missing — run `python bench.py` and commit it"
+    )
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["metric"] == "doc_features_seq_per_sec" and rec["queries"]

@@ -240,3 +240,75 @@ def test_streaming_snapshot_commits_incremental(spark, tmp_path):
     drain("snapstream2")
     n2 = spark.sql("SELECT SUM(n_docs) AS n FROM snapstream2").first()["n"]
     assert n2 == docs.count()
+
+
+def test_staged_profile_checkpointed_resume(spark, tmp_path):
+    """End-to-end reliable-checkpoint story (round-4 advice #9): the
+    staged doc profile — grains materialized to a staging dir, the
+    production shape — is computed bucket-by-bucket by run_checkpointed,
+    killed mid-job, and resumed from the SAME lineage ledger: the resume
+    runs only the remaining buckets, the union equals the direct result,
+    and every lineage record carries its bucket metadata."""
+    from tscan_spark.operators import checkpoint
+    from tscan_spark.registry import QUERIES
+
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "profile_out")
+    df = QUERIES["tscan_doc_profile_staged"](spark, SF_DIR)
+
+    class Boom(Exception):
+        pass
+
+    calls = []
+
+    def crash_after_2(b):
+        calls.append(b)
+        if len(calls) == 2:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        checkpoint.run_checkpointed(df, out, n_buckets=4, on_bucket=crash_after_2)
+    assert len(checkpoint.completed_buckets(out)) == 2
+
+    m = checkpoint.run_checkpointed(df, out, n_buckets=4)
+    assert m["buckets_skipped"] == 2 and m["buckets_run"] == 2
+
+    got = checkpoint.read_checkpointed(spark, out)
+    assert got.count() == df.count()
+    assert sorted(got.columns) == sorted(df.columns)
+    lineage = checkpoint.job_lineage(out)
+    assert len(lineage) == 4
+    for rec in lineage:
+        assert rec["rows"] >= 0 and rec["key_col"] == "doc_id"
+        assert rec["n_buckets"] == 4 and "wall_sec" in rec
+
+
+def test_cc_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
+    """dedup_clusters' per-round lineage truncation runs through
+    reliable checkpoint(dir) when TSCAN_CC_CHECKPOINT_DIR is set — the
+    executor-loss-safe production path — and produces the identical
+    cluster assignment; the checkpoint dir actually holds RDD state."""
+    import os
+
+    from tscan_spark.operators import dedup
+    from tscan_spark.registry import QUERIES
+
+    base = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    }
+    ckpt = str(tmp_path / "cc_ckpt")
+    monkeypatch.setenv("TSCAN_CC_CHECKPOINT_DIR", ckpt)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    labels, rounds = dedup._cc_two_phase(chain)
+    assert {r.node: r.label for r in labels.collect()} == {i: 0 for i in range(64)}
+    # reliable-checkpoint state was actually written
+    assert os.path.isdir(ckpt) and any(os.scandir(ckpt))
+    # the full operator through the reliable path = the local-path result
+    reliable = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    }
+    assert reliable == base

@@ -52,32 +52,111 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, int]:
     return n, checksum, (checksum % 640) + 1, (checksum % 480) + 1
 
 
-def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode pass over the binary column.
+# SOF segment markers that carry JPEG frame dimensions (ITU T.81 table
+# B.1: baseline/extended/progressive/lossless + differential variants;
+# C4/C8/CC are DHT/JPG/DAC, not frames)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+# PNG color type -> sample channels (PNG spec 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """REAL image-header codec (round-4 advice #7): width/height/
+    channels parsed straight from the byte payload — pure
+    public-knowledge struct parsing (PNG spec ISO 15948, JPEG ITU T.81,
+    GIF89a spec), no image library.  Returns
+    ``(format, width, height, n_channels)`` or None for unrecognized
+    payloads (the synthetic text corpus falls through to the stub).
+    """
+    n = len(payload)
+    # PNG: 8-byte signature, then the IHDR chunk (len+type+13 bytes)
+    if n >= 26 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        ch = _PNG_CHANNELS.get(payload[25])
+        if ch and 0 < w and 0 < h:
+            return ("png", w, h, ch)
+        return None
+    # JPEG: SOI then marker segments until a SOF frame header
+    if n >= 4 and payload[0] == 0xFF and payload[1] == 0xD8:
+        i = 2
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                return None
+            # fill bytes before a marker are legal
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
+            marker = payload[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone marker, no length field
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                # precision(1) height(2) width(2) n_components(1)
+                if i + 10 > n:
+                    return None
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h, payload[i + 9])
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    # GIF: 6-byte version tag, then logical screen w/h little-endian
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return ("gif", w, h, 3)
+    return None
+
+
+def decode_binary(binary: DataFrame) -> DataFrame:
+    """mapInPandas decode pass over a (doc_id, payload) frame.
 
     One narrow pass, no shuffle: each Arrow batch of (doc_id, payload)
     maps to a feature batch. At 100 TB the decode parallelism is the
-    scan parallelism — exactly what you want for codec work.
+    scan parallelism — exactly what you want for codec work.  Real
+    PNG/JPEG/GIF payloads get header-parsed dimensions
+    (:func:`parse_image_header`); anything else carries NULL image
+    columns and the deterministic stub features.
     """
-    binary = binarize(corpus.load(spark, sf_dir, "documents"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(p) for p in pdf["payload"]]
+            stub = [_decode_stub(p) for p in pdf["payload"]]
+            hdr = [parse_image_header(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [f[0] for f in feats],
-                    "checksum": [f[1] for f in feats],
-                    "fake_width": [f[2] for f in feats],
-                    "fake_height": [f[3] for f in feats],
+                    "n_bytes": [f[0] for f in stub],
+                    "checksum": [f[1] for f in stub],
+                    "fake_width": [f[2] for f in stub],
+                    "fake_height": [f[3] for f in stub],
+                    "img_format": [h[0] if h else None for h in hdr],
+                    "img_width": [h[1] if h else None for h in hdr],
+                    "img_height": [h[2] if h else None for h in hdr],
+                    "img_channels": [h[3] if h else None for h in hdr],
                 }
             )
 
     return binary.mapInPandas(
         decode,
-        schema="doc_id long, n_bytes long, checksum long, fake_width int, fake_height int",
+        schema=(
+            "doc_id long, n_bytes long, checksum long, "
+            "fake_width int, fake_height int, img_format string, "
+            "img_width int, img_height int, img_channels int"
+        ),
     )
+
+
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered decode pass over the corpus-derived binary column."""
+    return decode_binary(binarize(corpus.load(spark, sf_dir, "documents")))
 
 
 # Oracle: the checksum is pure arithmetic over the utf-8 bytes; DuckDB
@@ -98,7 +177,11 @@ SELECT d.doc_id,
        CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
        CAST(s.checksum AS BIGINT) AS checksum,
        CAST(s.checksum % 640 + 1 AS INT) AS fake_width,
-       CAST(s.checksum % 480 + 1 AS INT) AS fake_height
+       CAST(s.checksum % 480 + 1 AS INT) AS fake_height,
+       CAST(NULL AS VARCHAR) AS img_format,
+       CAST(NULL AS INT) AS img_width,
+       CAST(NULL AS INT) AS img_height,
+       CAST(NULL AS INT) AS img_channels
 FROM documents d JOIN s USING (doc_id)"""
 
 

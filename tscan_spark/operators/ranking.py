@@ -168,7 +168,8 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — false in general: product order != lexicographic order, so
     a term present in every doc (idf = 0) with high tf outranked rare
     high-tfidf terms.  Round-4 advice; fixed round 5 with a true-top-k
-    semantics test in tests/test_ranking_semantics.py.)  Ordering by
+    semantics check in tests/test_operators.py::
+    test_tfidf_keywords_semantics.)  Ordering by
     the raw double would make ranks depend on cross-engine ULP
     differences in ln(); the 1e-9 grid is far coarser than the ~1e-15
     relative ULP error, so both engines land on the same integer.

@@ -99,16 +99,42 @@ def _feature_grain(docs: DataFrame) -> DataFrame:
     return uni.unionByName(big)
 
 
-def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_importance(
+    spark: SparkSession, sf_dir: str, staging_dir: str | None = None
+) -> DataFrame:
+    """``staging_dir=None``: the reduced grain persists in memory.
+    ``staging_dir=<path>``: it is written ONCE to a staging parquet
+    table and both consumers scan it — the cache.py contract's
+    production form (object-store/Iceberg path on a cluster)."""
     docs = corpus.load(spark, sf_dir, "documents")
-    feats = _feature_grain(docs).persist()
+    # feature-grain REDUCTION before the cache (round-4 advice #5): the
+    # raw (doc, source, bucket) grain is one row per feature occurrence
+    # (~17M rows at the witness scale) and the persist write was the
+    # scaling wall (eff 0.54, BENCH.md).  Aggregating to per-doc bucket
+    # counts FIRST shrinks the materialized frame by the per-doc bucket
+    # collision factor and moves the reduction into the map-side-combine
+    # aggregate; every downstream sum replays exactly as cnt * lam_fp
+    # (integer multiply, still reduction-order-free).
+    reduced = _feature_grain(docs).groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    if staging_dir is not None:
+        import os
+
+        path = os.path.join(staging_dir, "dsir_grain")
+        reduced.write.mode("overwrite").parquet(path)
+        feats = spark.read.parquet(path)
+    else:
+        feats = reduced.persist()
 
     one = F.lit(1.0)
     nb = F.lit(float(N_BUCKETS))
     counts = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum("cnt").alias("cnt_raw"),
         F.sum(
-            F.when(F.col("source") == TARGET_SOURCE, F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("source") == TARGET_SOURCE, F.col("cnt")).otherwise(
+                F.lit(0).cast("long")
+            )
         ).alias("cnt_tgt"),
     )
     tot = counts.agg(
@@ -135,12 +161,17 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_feat"),
-            F.round(F.sum("lam_fp") / F.lit(1e9), 9).alias("dsir_logw"),
+            F.sum("cnt").cast("int").alias("n_feat"),
+            # overflow bound: the per-doc sum equals sum over features of
+            # lam_fp, <= n_feat * max|lam_fp| ~ n_feat * ln(tot)*1e9 —
+            # safe in BIGINT for docs up to ~10^8 features
+            F.round(F.sum(F.col("cnt") * F.col("lam_fp")) / F.lit(1e9), 9).alias(
+                "dsir_logw"
+            ),
         )
         .orderBy("doc_id")
     )
-    return _with_cache(out, feats)
+    return _with_cache(out, feats) if staging_dir is None else out
 
 
 SQL_DSIR_IMPORTANCE = f"""

@@ -54,6 +54,31 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension is input, not dictionary.
 SYNTH_MIN, SYNTH_MAX = 3, 5  # short-word band feeding the extension
 SYNTH_MOD = 3  # hash gate: keep ~1/3 of direct and ~1/3 of linked pairs
+# bound the generator's self-join LEFT side to ~this many w1 words: the
+# gate modulus is cardinality-derived (round-4 advice — the ungated
+# |shorts|² cross join blows up on a large vocabulary even though the
+# SPLITTER itself is vocab-grain broadcast joins), so candidate pairs
+# are O(SYNTH_W1_TARGET * |shorts|), linear in the vocabulary.  At the
+# test SFs |shorts| <= target, the modulus is 1 and the output is
+# unchanged.
+SYNTH_W1_TARGET = 16
+
+
+def _gated_shorts(shorts: DataFrame) -> DataFrame:
+    """Hash-gate w1 BEFORE the self-join: keep w1 where
+    content_hash(w1) % max(1, |shorts| DIV target) == 0 — expected
+    survivors ~ SYNTH_W1_TARGET at any vocabulary size; the oracle
+    replays the identical COUNT-derived modulus."""
+    stats = shorts.agg(F.count(F.lit(1)).cast("long").alias("n_shorts"))
+    return (
+        shorts.crossJoin(F.broadcast(stats))
+        .where(
+            corpus.content_hash_expr(F.col("w1"))
+            % F.expr(f"GREATEST(CAST(1 AS BIGINT), n_shorts DIV {SYNTH_W1_TARGET})")
+            == 0
+        )
+        .select("w1")
+    )
 
 
 def _candidate_words(vocab: DataFrame) -> DataFrame:
@@ -61,9 +86,9 @@ def _candidate_words(vocab: DataFrame) -> DataFrame:
     shorts = vocab.where(
         (F.length("word") >= SYNTH_MIN) & (F.length("word") <= SYNTH_MAX)
     ).select(F.col("word").alias("w1"))
-    pairs = shorts.crossJoin(shorts.select(F.col("w1").alias("w2"))).where(
-        F.col("w1") != F.col("w2")
-    )
+    pairs = _gated_shorts(shorts).crossJoin(
+        shorts.select(F.col("w1").alias("w2"))
+    ).where(F.col("w1") != F.col("w2"))
     direct = pairs.select(
         F.concat("w1", "w2").alias("word")
     ).where(corpus.content_hash_expr(F.concat(F.col("w1"), F.col("w2"))) % SYNTH_MOD == 0)
@@ -168,8 +193,16 @@ shorts AS (
     SELECT word AS w1 FROM vocab
     WHERE length(word) BETWEEN {SYNTH_MIN} AND {SYNTH_MAX}
 ),
+sstat AS (
+    SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // {SYNTH_W1_TARGET}) AS w1_mod
+    FROM shorts
+),
+gated AS (
+    SELECT w1 FROM shorts CROSS JOIN sstat
+    WHERE {corpus.sql_content_hash("w1")} % w1_mod = 0
+),
 pairs AS (
-    SELECT a.w1, b.w1 AS w2 FROM shorts a, shorts b WHERE a.w1 <> b.w1
+    SELECT a.w1, b.w1 AS w2 FROM gated a, shorts b WHERE a.w1 <> b.w1
 ),
 synth0 AS (
     SELECT w1 || w2 AS word FROM pairs
