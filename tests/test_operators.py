@@ -23,12 +23,13 @@ def test_query_matches_oracle(spark, oracle, name):
     assert_matches_oracle(df, oracle, ORACLES[name])
 
 
-def test_asof_no_temporal_leakage(spark):
+@pytest.mark.parametrize("strategy", ["broadcast", "array"])
+def test_asof_no_temporal_leakage(spark, strategy):
     """A document dated before every snapshot must see NULL (never a
     future snapshot); max used version must respect event_ts."""
     from tscan_spark.operators import asof
 
-    df = asof.asof_doc_features(spark, SF_DIR, strategy="broadcast")
+    df = asof.asof_doc_features(spark, SF_DIR, strategy=strategy)
     rows = {r.doc_id: r for r in df.collect()}
     for doc_id, r in rows.items():
         days = doc_id % 90
@@ -36,6 +37,24 @@ def test_asof_no_temporal_leakage(spark):
             assert r.matched_cnt == 0 and r.max_version is None, r
         elif days < 40:  # only snapshot 0 valid
             assert r.max_version in (None, 0), r
+
+
+def test_asof_strategies_agree(spark):
+    """All three physical strategies (cogrouped merge_asof, broadcast
+    max_by, broadcast timeline array) return identical doc-grain rows."""
+    from tscan_spark.operators import asof
+
+    base = None
+    for strategy in ("merge", "broadcast", "array"):
+        got = sorted(
+            asof.asof_doc_features(spark, SF_DIR, strategy=strategy).collect(),
+            key=lambda r: r.doc_id,
+        )
+        got = [tuple(r) for r in got]
+        if base is None:
+            base = got
+        else:
+            assert got == base, strategy
 
 
 def test_multiword_matches_oracle(spark, oracle):

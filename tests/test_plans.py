@@ -119,6 +119,22 @@ def test_asof_join_prunes_lexicon_columns(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_asof_array_plan_is_narrow_and_jvm_only(spark):
+    """The timeline-array as-of strategy's scale claim: the fact side
+    never shuffles before the doc-grain aggregate (the only exchanges
+    are the snapshot-dimension build and the final agg) and no Python
+    worker touches the fact rows."""
+    df = QUERIES["asof_lexicon_features_array"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for python_node in ("FlatMapCoGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert python_node not in plan, (python_node, plan)
+    # fact-side pipeline scan -> broadcast join -> partial agg must fuse
+    # into one codegen stage with no exchange in between: the documents
+    # scan and the first HashAggregate share a WholeStageCodegen subtree
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_bm25_and_tfidf_broadcast_and_prune(spark):
     """The ranking family's scale claims: the query/idf dimensions ride
     BroadcastHashJoins (never SortMergeJoin against the vocabulary),

@@ -81,6 +81,18 @@ snaps AS (
 )
 
 
+def asof_buckets_for(n_left: int, parallelism: int, target_rows: int = 4_000_000) -> int:
+    """Cogroup bucket count for :func:`asof_join`.
+
+    Enough buckets that (a) every core has work (4x parallelism) and
+    (b) a single bucket's left side stays ~target_rows, so the pandas
+    frame a merge task materializes is bounded at any corpus size —
+    the same cardinality-derived convention as ``n_planes_for`` /
+    ``pack_shards_for``.
+    """
+    return max(4 * parallelism, -(-n_left // target_rows))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -89,18 +101,28 @@ def asof_join(
     by: list[str],
     value_cols: list[str],
     salt_k: int = 8,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Generic backward as-of join via cogrouped ``pd.merge_asof``.
+    """Generic backward as-of join via bucket-cogrouped ``pd.merge_asof``.
 
     left[on] is matched to the greatest right[right_on] <= left[on]
-    within equal `by` keys. Arrow-vectorized; each group is merged in
-    O(n log n) (sort) + O(n+m).
+    within equal `by` keys.
 
-    Skew/parallelism: when the `by` key space is small or hot (a handful
-    of words covering most of the corpus), the cogroup is salted —
-    the left side gets ``salt = pmod(hash(row), salt_k)`` and the right
-    side is replicated across all salt values, so one hot key spreads
-    over ``salt_k`` Arrow groups with identical results.
+    Parallel shape: both sides are hashed on the `by` keys into
+    ``n_buckets`` cogroup buckets (cardinality-derived via
+    :func:`asof_buckets_for` when not given) and each bucket runs ONE
+    vectorized ``pd.merge_asof(..., by=by)`` over all of its keys.
+    Grouping the cogroup by the raw `by` keys instead (the obvious
+    translation) creates |key-space| tiny pandas groups — measured 16x
+    slower end-to-end at 640k docs (BENCH.md round 5): per-group Python
+    dispatch dominates and Arrow batching degenerates. Bucket-grain
+    keeps the merge itself C-speed and makes task count independent of
+    key cardinality.
+
+    Skew: a hot `by` key would fill one bucket, so the left side is
+    salted first — ``salt = pmod(hash(row), salt_k)`` joins the `by`
+    keys, the right side is replicated across all salt values, and one
+    hot key spreads over ``salt_k`` buckets with identical results.
     """
     if salt_k and salt_k > 1:
         left = left.withColumn(
@@ -111,7 +133,9 @@ def asof_join(
         )
         right = right.crossJoin(F.broadcast(salts))
         by = [*by, "_salt"]
-        out = asof_join(left, right, on, right_on, by, value_cols, salt_k=0)
+        out = asof_join(
+            left, right, on, right_on, by, value_cols, salt_k=0, n_buckets=n_buckets
+        )
         return out.drop("_salt")
     from pyspark.sql.types import StructField
 
@@ -126,6 +150,15 @@ def asof_join(
         ]
     )
     left_cols = [f.name for f in left.schema.fields]
+    by = list(by)
+
+    if n_buckets is None:
+        n_buckets = asof_buckets_for(
+            left.count(), left.sparkSession.sparkContext.defaultParallelism
+        )
+    bucket = F.pmod(F.hash(*[F.col(c) for c in by]), F.lit(n_buckets))
+    left_b = left.withColumn("_asof_bkt", bucket)
+    right_b = right.withColumn("_asof_bkt", bucket)
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.sort_values(on, kind="mergesort")
@@ -138,9 +171,10 @@ def asof_join(
             rpdf = rpdf.sort_values(right_on, kind="mergesort")
             merged = pd.merge_asof(
                 lpdf,
-                rpdf[[right_on, *keep]],
+                rpdf[[*by, right_on, *keep]],
                 left_on=on,
                 right_on=right_on,
+                by=by,  # exact key match inside the bucket
                 direction="backward",  # zero temporal leakage
             )
         if "version" in merged.columns:
@@ -150,8 +184,8 @@ def asof_join(
         return merged[left_cols + keep]
 
     return (
-        left.groupBy(*by)
-        .cogroup(right.groupBy(*by))
+        left_b.groupBy("_asof_bkt")
+        .cogroup(right_b.groupBy("_asof_bkt"))
         .applyInPandas(merge, schema=out_schema)
     )
 
@@ -174,19 +208,81 @@ def asof_join_broadcast(
     return j.groupBy(*lcols).agg(*aggs)
 
 
+def asof_join_array(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    by: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of via a broadcast per-key timeline array — the
+    zero-shuffle plan for a broadcastable snapshot dimension.
+
+    The right side collapses to one row per `by` key holding its version
+    timeline sorted ascending by `right_on` (struct sort = first-field
+    sort); the fact side broadcast-joins it (narrow — no exchange on the
+    fact table) and each row picks the last timeline entry with
+    ``right_on <= on`` via ``filter`` + ``try_element_at(-1)``, all
+    inside whole-stage codegen. Cost per row is O(|versions|); no Arrow
+    transfer, no Python, no wide groupBy — unlike
+    :func:`asof_join_broadcast`, which re-aggregates the fact table by
+    every left column to undo the range-join multiplicity, this never
+    multiplies rows at all. Measured 4x faster than max_by and ~20x
+    faster than the cogrouped merge at 640k docs (BENCH.md round 5).
+    """
+    timeline = right.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(F.struct(right_on, "version", *value_cols))
+        ).alias("_tl")
+    )
+    j = left.join(F.broadcast(timeline), by, "left")
+    hit = F.try_element_at(
+        F.filter("_tl", lambda x: x[right_on] <= F.col(on)), F.lit(-1)
+    )
+    left_cols = [f.name for f in left.schema.fields]
+    return j.select(
+        *left_cols,
+        hit["version"].alias("version"),
+        *[hit[c].alias(c) for c in value_cols],
+    )
+
+
+_ASOF_STRATEGIES = {
+    "merge": asof_join,
+    "broadcast": asof_join_broadcast,
+    "array": asof_join_array,
+}
+
+
 def asof_doc_features(
-    spark: SparkSession, sf_dir: str, strategy: str = "merge"
+    spark: SparkSession,
+    sf_dir: str,
+    strategy: str = "merge",
+    snapshots: DataFrame | None = None,
 ) -> DataFrame:
     """Doc-grain features computed against the as-of lexicon snapshot.
 
     Each token of a document resolves to the latest snapshot of its word
     with valid_from <= event_ts; documents earlier than every snapshot of
     a word get NULL (missing-version behavior, never leakage).
+
+    ``snapshots``: a prebuilt versioned snapshot table (word, version,
+    valid_from, lex_value) — the production shape, where the lexicon
+    dimension is a maintained table, not recomputed per query. Defaults
+    to deriving :func:`lexicon_snapshots` from the corpus (the
+    self-contained registered-query form).
     """
     documents = corpus.load(spark, sf_dir, "documents")
     tok = corpus.with_event_ts(corpus.tokens_long(documents))
-    snaps = lexicon_snapshots(spark, sf_dir)
-    join = asof_join if strategy == "merge" else asof_join_broadcast
+    # manual column pruning: the as-of strategies are join/cogroup black
+    # boxes to Catalyst (applyInPandas especially), so project the fact
+    # side down BEFORE the join — at the merge path this is ~40% less
+    # Arrow traffic. word_idx stays: asof_join_broadcast's de-duplicating
+    # groupBy needs every fact row to be key-unique.
+    tok = tok.select("doc_id", "word_idx", "word", "event_ts")
+    snaps = snapshots if snapshots is not None else lexicon_snapshots(spark, sf_dir)
+    join = _ASOF_STRATEGIES[strategy]
     enriched = join(
         tok,
         snaps,

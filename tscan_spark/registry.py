@@ -206,6 +206,14 @@ def q_asof_features_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.asof_doc_features(spark, sf_dir, strategy="broadcast")
 
 
+@query("asof_lexicon_features_array", oracle=asof.sql_asof_doc_features())
+def q_asof_features_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the broadcast timeline-array strategy — the
+    zero-shuffle / zero-Python plan for a broadcastable snapshot
+    dimension (asof.asof_join_array)."""
+    return asof.asof_doc_features(spark, sf_dir, strategy="array")
+
+
 # ---------------------------------------------------------------------------
 # Order-sensitive sequential kernels (SURVEY.md §2.3, A5)
 # ---------------------------------------------------------------------------
@@ -1814,8 +1822,9 @@ def q_corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parse tail and the flagship profile) never got one.  This block
 # rotates the dict so those 42 lead, padded to 50 with the
 # least-recently-hashed queries (surprisal_features / tscan_staph_bands
-# were last hashed in round 1, the next six in round 3).  The remaining
-# 66 keep their relative definition order after the prefix.
+# were last hashed in round 1, the next five in round 3) plus the
+# round-5-registered pack_sequences_fine.  The remaining queries keep
+# their relative definition order after the prefix.
 #
 # Round-6 rotation note: recompute the prefix as
 #   never-hashed-by-any-CORRECTNESS_r*.json first, then ascending
@@ -1870,8 +1879,12 @@ _GATE_ROTATION_PREFIX = [
     "ner_token_lookup",
     "np_chunk_features",
     "parse_clause_counts",
-    "parse_dep_distance",
-    "parse_doc_summary",
+    # round-5 registrations (second sharding of the cardinality-derived
+    # pack; the zero-shuffle as-of timeline plan), never driver-hashed —
+    # they take the padding slots of parse_dep_distance /
+    # parse_doc_summary (both round-3 hashed)
+    "asof_lexicon_features_array",
+    "pack_sequences_fine",
 ]
 
 
