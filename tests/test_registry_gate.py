@@ -67,6 +67,27 @@ def test_correctness_head_ledger_covers_registry():
     assert not not_ok, f"sweep ledger has non-OK verdicts: {not_ok}"
 
 
+def test_correctness_sf01_ledger_covers_registry():
+    """Round-5 dual-scale pin: the driver's own gate compares VALUES at
+    sf=0.01, while the default sweep runs at sf=0.001 — a query whose
+    result is scale-sensitive (float reduction order, quantile edges)
+    could be green at one grain and red at the other. The committed
+    sf0.01 ledger (`TSCAN_TEST_SF_DIR=/root/testdata/sf0.01
+    python tools/check_query.py --json CORRECTNESS_HEAD_SF01.json`)
+    proves every registered query green at the driver's grain too."""
+    QUERIES, ORACLES = _registry()
+    path = os.path.join(REPO, "CORRECTNESS_HEAD_SF01.json")
+    assert os.path.exists(path), "CORRECTNESS_HEAD_SF01.json missing"
+    with open(path) as f:
+        ledger = json.load(f)
+    assert ledger["sf_dir"].endswith("sf0.01"), ledger["sf_dir"]
+    results = ledger["results"]
+    uncovered = [n for n in QUERIES if n in ORACLES and n not in results]
+    assert not uncovered, f"queries registered after the sf0.01 sweep: {uncovered}"
+    not_ok = {n: v for n, v in results.items() if v != "OK"}
+    assert not not_ok, f"sf0.01 ledger has non-OK verdicts: {not_ok}"
+
+
 def test_gate_rotation_prefix_leads_registry():
     """Round-5 rotation pin: the driver gate hashes the first ~50
     QUERIES entries in iteration order, so the never-driver-hashed
