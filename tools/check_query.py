@@ -46,6 +46,12 @@ def compare(got: pd.DataFrame, exp: pd.DataFrame) -> str:
     exp = exp[cols].sort_values(cols, ignore_index=True)
     for c in cols:
         g, e = got[c], exp[c]
+        # The driver hashes exact TYPED values: int64-vs-float64 or
+        # Decimal(object)-vs-float64 fails its gate even when every
+        # value matches (all 5 round-5 hash-reds were this class), so
+        # the replica must fail on dtype first.
+        if str(g.dtype) != str(e.dtype):
+            return f"DTYPE {c}: {g.dtype} vs {e.dtype}"
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
             ga, ea = g.astype(float).to_numpy(), e.astype(float).to_numpy()
             ng, ne = np.isnan(ga), np.isnan(ea)

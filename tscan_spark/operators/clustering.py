@@ -109,7 +109,13 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = spark.createDataFrame(state, "cluster int, dim int, cx double")
     out = (
         _assign(long, cent)
-        .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "dist_fp")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            # double: DuckDB's SUM over BIGINT widens to HUGEINT ->
+            # pandas float64 (driver typed-hash parity, r5 hash-red)
+            F.col("dist_fp").cast("double").alias("dist_fp"),
+        )
         .orderBy("vec_id")
     )
     return _with_cache(out, long)

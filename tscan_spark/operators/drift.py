@@ -82,7 +82,10 @@ def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         j.groupBy("source")
         .agg(
-            F.first("tot_s").alias("n_tokens"),
+            # double: the DuckDB oracle's MIN over a SUM widens to
+            # HUGEINT -> pandas float64; the driver hashes typed values,
+            # so the Spark side must emit the same dtype (r5 hash-red)
+            F.first("tot_s").cast("double").alias("n_tokens"),
             F.count("*").alias("n_types"),
             F.round(F.count("*") / F.first("types_c"), 6).alias("coverage"),
             F.round(
@@ -162,7 +165,9 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "bucket",
             "new_types",
-            F.sum("new_types").over(w).alias("cum_types"),
+            # double: DuckDB's window SUM over BIGINT widens to
+            # HUGEINT -> pandas float64 (driver typed-hash parity)
+            F.sum("new_types").over(w).cast("double").alias("cum_types"),
             "tokens_in_bucket",
         )
         .orderBy("source", "bucket")

@@ -1396,11 +1396,18 @@ def _doc_profile_impl(
         build = builders.get(name)
         part = (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
         out = part if out is None else out.join(part, "doc_id")
-    # cross-battery ratio block (same SQL strings as the oracle)
+    # cross-battery ratio block (same SQL strings as the oracle).
+    # cast("double"): Spark parses the literal 1.0 in the shared ratio
+    # SQL as DECIMAL(2,1), making every ratio DECIMAL(29,6), while the
+    # DuckDB oracle returns DOUBLE — value-identical but the driver's
+    # typed hash fails (r5 hash-red). Double is also what the LiNT
+    # block consumes, so both engines fold the formulas in IEEE double.
     out = out.select(
         "*",
         *[
-            F.expr(_profile_ratio_expr(num, den, kind)).alias(name)
+            F.expr(_profile_ratio_expr(num, den, kind))
+            .cast("double")
+            .alias(name)
             for name, num, den, kind in _PROFILE_RATIOS
         ],
     )
