@@ -28,6 +28,16 @@ def with_cache(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def carry_caches(out: DataFrame, *srcs: DataFrame) -> DataFrame:
+    """Propagate cache handles from ``srcs`` onto ``out`` (DataFrame
+    transformations return new objects, so the handle attribute does
+    not survive a select/join — re-attach it where lineage continues)."""
+    handles: list[DataFrame] = []
+    for s in srcs:
+        handles.extend(getattr(s, "_tscan_caches", []))
+    return with_cache(out, *handles) if handles else out
+
+
 def release_caches(df: DataFrame) -> None:
     """Unpersist every cache a query attached to ``df``'s plan."""
     for cached in getattr(df, "_tscan_caches", []):

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tscan_spark.cache import carry_caches, with_cache
 from tscan_spark.corpus import tokens_long
 from tscan_spark.functions.scalars import freq_log, sql_freq_log
 
@@ -59,7 +60,15 @@ def _ranked_with_total(counts: DataFrame, count_col: str) -> DataFrame:
        row_number within the partition (window partitioned by pid —
        every task ranks ~|vocab|/N rows in parallel).
 
-    Output: input columns + (wf_rank, wf_total)."""
+    Output: input columns + (wf_rank, wf_total).
+
+    NOT persisted: the two branches reading the range exchange (the
+    per-partition offsets aggregate and the final rank join) share one
+    shuffle via exchange reuse, and downstream consumers' broadcast
+    builds of the dim dedupe the same way — an explicit cache here
+    measured SLOWER at sf0.1 (doc_features 0.85->1.33s: the
+    InMemoryRelation materialization is a barrier plus a columnar
+    encode that exchange reuse gets for free)."""
     n_parts = max(counts.sparkSession.sparkContext.defaultParallelism, 8)
     ranged = counts.repartitionByRange(
         n_parts, F.desc(count_col), F.asc("word")
@@ -77,7 +86,7 @@ def _ranked_with_total(counts: DataFrame, count_col: str) -> DataFrame:
         F.sum("csum").over(w_all).cast("double").alias("wf_total"),
     )
     w_in = Window.partitionBy("pid").orderBy(F.desc(count_col), F.asc("word"))
-    return (
+    out = (
         ranged.join(F.broadcast(off), "pid")
         .withColumn(
             "wf_rank",
@@ -85,6 +94,7 @@ def _ranked_with_total(counts: DataFrame, count_col: str) -> DataFrame:
         )
         .drop("pid", "rank_offset")
     )
+    return out
 
 
 def word_freq(documents: DataFrame) -> DataFrame:
@@ -97,7 +107,7 @@ def word_freq(documents: DataFrame) -> DataFrame:
     tok = tokens_long(documents)
     counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wf_count"))
     ranked = _ranked_with_total(counts, "wf_count")
-    return ranked.select(
+    out = ranked.select(
         "word",
         "wf_count",
         "wf_rank",
@@ -107,6 +117,7 @@ def word_freq(documents: DataFrame) -> DataFrame:
         # needs no second corpus scan
         "wf_total",
     )
+    return carry_caches(out, ranked)
 
 
 def word_freq_from_file(spark, path: str, freq_clip: float = 0.0) -> DataFrame:
@@ -126,13 +137,14 @@ def word_freq_from_file(spark, path: str, freq_clip: float = 0.0) -> DataFrame:
     ranked = _ranked_with_total(
         df.select("word", F.col("count").alias("wf_count")), "wf_count"
     )
-    return ranked.select(
+    out = ranked.select(
         "word",
         "wf_count",
         "wf_rank",
         freq_log("wf_count", F.col("wf_total")).alias("wf_freq_log"),
         "wf_total",
     )
+    return carry_caches(out, ranked)
 
 
 def with_band_flags(df: DataFrame, rank_col: str = "wf_rank") -> DataFrame:
@@ -140,7 +152,7 @@ def with_band_flags(df: DataFrame, rank_col: str = "wf_rank") -> DataFrame:
     out = df
     for band, thr in BANDS:
         out = out.withColumn(f"is_{band}", (F.col(rank_col) <= thr).cast("int"))
-    return out
+    return carry_caches(out, df)
 
 
 # --- SQL oracle rendering (depends on `tok` CTE) ---------------------------
@@ -182,15 +194,20 @@ def lemma_freq(documents: DataFrame) -> DataFrame:
     tok = tokens_long(documents).select(
         annotate.lemma_expr(F.col("word")).alias("lemma")
     )
-    counts = tok.groupBy("lemma").agg(F.count(F.lit(1)).alias("lf_count"))
+    # persisted: the lemma-vocabulary aggregate feeds two branches (the
+    # 1-row total and the dim itself) — one token pass instead of two
+    counts = (
+        tok.groupBy("lemma").agg(F.count(F.lit(1)).alias("lf_count")).persist()
+    )
     # total via a 1-row aggregate broadcast, not an unpartitioned
     # window over the lemma vocabulary (round-4 advice family)
     tot = counts.agg(F.sum("lf_count").cast("double").alias("lf_total"))
-    return counts.crossJoin(F.broadcast(tot)).select(
+    out = counts.crossJoin(F.broadcast(tot)).select(
         "lemma",
         "lf_count",
         F.round(freq_log("lf_count", F.col("lf_total")), 6).alias("lf_freq_log"),
     )
+    return with_cache(out, counts)
 
 
 def sql_lemma_freq_cte() -> str:
@@ -221,8 +238,12 @@ def with_staph_bands(wf: DataFrame) -> DataFrame:
     offsets over the constant-size pid frame, within-partition running
     sum) — no vocabulary-sized single-partition window."""
     n_parts = max(wf.sparkSession.sparkContext.defaultParallelism, 8)
-    ranged = wf.repartitionByRange(n_parts, F.asc("wf_rank")).withColumn(
-        "pid", F.spark_partition_id()
+    # persisted for the same two-branch reason as _ranked_with_total
+    # (offsets aggregate + running-sum join); vocabulary-sized
+    ranged = (
+        wf.repartitionByRange(n_parts, F.asc("wf_rank"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     per = ranged.groupBy("pid").agg(F.sum("wf_count").alias("csum"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -249,7 +270,7 @@ def with_staph_bands(wf: DataFrame) -> DataFrame:
     )
     for band, thr in STAPH_BANDS:
         out = out.withColumn(f"is_{band}", (F.col("cum_pct") <= thr).cast("int"))
-    return out
+    return carry_caches(with_cache(out, ranged), wf)
 
 
 def sql_staph_cte() -> str:

@@ -121,16 +121,30 @@ GROUP BY md5(text)"""
 
 
 def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    tok = corpus.tokens_long(documents)
-    w = Window.partitionBy("doc_id").orderBy("word_idx")
-    grams = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    sh = tok.select(
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Pure narrow array expression over the document's own token array —
+    the tokens of one document already sit in order inside its ``text``
+    row, so the former lead()-over-Window construction paid a full
+    shuffle + sort of the token grain for an ordering the scan provides
+    for free (guide §2.4: remove shuffles outright). Zero Exchange
+    before the distinct. Built from arrays_zip over n shifted slices
+    (all codegen) rather than per-position lambdas: a transform/slice
+    HOF variant measured 4x slower (interpreted per element), this one
+    is at parity with the old window locally and strictly better on
+    plan shape."""
+    arr = F.array_remove(F.split(F.col("text"), " "), "")
+    m = F.size(arr) - (n - 1)
+    z = F.arrays_zip(*[F.slice(arr, i + 1, m) for i in range(n)])
+    sh = documents.select(
+        "doc_id", F.explode(F.when(F.size(arr) >= n, z)).alias("z")
+    )
+    return sh.select(
         "doc_id",
-        F.concat_ws(" ", *grams).alias("shingle"),
-        grams[-1].alias("_last"),
-    ).where(F.col("_last").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
+        F.concat_ws(" ", *[F.col("z").getField(str(i)) for i in range(n)]).alias(
+            "shingle"
+        ),
+    ).distinct()
 
 
 SQL_SHINGLES_CTE = """
@@ -686,17 +700,34 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}"""
 SPAN_K = 15  # gram length in tokens (Lee et al. use 50 BPE tokens)
 
 
-def _span_grams(tok: DataFrame) -> DataFrame:
-    """(doc_id, pos, gram_id) for every SPAN_K-gram with its position."""
-    w = Window.partitionBy("doc_id").orderBy("word_idx")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, SPAN_K)]
-    g = tok.select(
+def _span_grams(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram_id) for every SPAN_K-gram with its position.
+
+    Narrow array construction (no Window shuffle — same rationale as
+    :func:`shingles`); ``pos`` keeps the RAW split index of the gram's
+    first token (the tokens_long word_idx contract counts empty-string
+    positions too), so the raw positions ride along the empty filter
+    and the gram text is assembled by arrays_zip over SPAN_K shifted
+    slices (codegen, no per-gram lambda)."""
+    k = SPAN_K
+    raw = F.split(F.col("text"), " ")
+    zs = F.filter(
+        F.arrays_zip(raw, F.sequence(F.lit(0), F.size(raw) - 1)),
+        lambda s: s["0"] != "",
+    )
+    words = F.transform(zs, lambda s: s["0"])
+    poss = F.transform(zs, lambda s: s["1"])
+    m = F.size(words) - (k - 1)
+    z = F.arrays_zip(F.slice(poss, 1, m), *[F.slice(words, i + 1, m) for i in range(k)])
+    g = documents.select(
+        "doc_id", F.explode(F.when(F.size(words) >= k, z)).alias("g")
+    )
+    gram = F.concat_ws(" ", *[F.col("g").getField(str(i + 1)) for i in range(k)])
+    return g.select(
         "doc_id",
-        F.col("word_idx").alias("pos"),
-        F.concat_ws(" ", *parts).alias("gram"),
-        parts[-1].alias("_last"),
-    ).where(F.col("_last").isNotNull())
-    return g.select("doc_id", "pos", corpus.content_hash_expr("gram").alias("gram_id"))
+        F.col("g").getField("0").cast("int").alias("pos"),
+        corpus.content_hash_expr(gram).alias("gram_id"),
+    )
 
 
 def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,8 +736,9 @@ def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: doc_id, n_tok, n_dup_spans, dup_token_cnt, dup_frac,
     kept_token_cnt (docs with no duplicated span appear with zeros).
     """
-    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
-    grams = _span_grams(tok)
+    docs = corpus.load(spark, sf_dir, "documents")
+    tok = corpus.tokens_long(docs)
+    grams = _span_grams(docs)
     dup_ids = grams.groupBy("gram_id").agg(F.count(F.lit(1)).alias("n")).where(
         F.col("n") > 1
     )
@@ -906,19 +938,16 @@ def _cc_two_phase(pairs: DataFrame) -> tuple[DataFrame, int]:
         .distinct()
     )
     edges = _truncate(edges)
-    n_nodes = max(
-        2,
-        edges.select(
-            F.countDistinct("u").alias("a"), F.countDistinct("v").alias("b")
-        )
-        .select(F.col("a") + F.col("b"))
-        .collect()[0][0]
-        or 2,
-    )
+    # ONE startup job: the digest already counts edges, and
+    # n_nodes <= 2 * n_edges, so the O(log n) round bound derives from
+    # the digest instead of a second countDistinct pass (the bound only
+    # loosens by <= 2 rounds, the early-exit digest still stops at the
+    # true fixed point)
+    digest = _edge_digest(edges)
+    n_nodes = max(2, 2 * digest[0] or 2)
     import math
 
     max_rounds = 2 * math.ceil(math.log2(n_nodes)) + 4
-    digest = _edge_digest(edges)
     rounds = 0
     for _ in range(max_rounds):
         # -- large-star: every neighbor larger than u links to
@@ -931,12 +960,15 @@ def _cc_two_phase(pairs: DataFrame) -> tuple[DataFrame, int]:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
+        # no intermediate distinct: duplicate (u, m) rows change neither
+        # small-star's min aggregate nor its final distinct, and the
+        # dropped exchange saves a stage per round (the loop is
+        # latency-bound — measured 1.2s/round on a 434-edge graph)
         large = (
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -- small-star: edges already large→small; every smaller
         #    neighbor (and u itself) links to the neighborhood min

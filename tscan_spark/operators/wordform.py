@@ -34,15 +34,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscan_spark import corpus, lexicons
+from tscan_spark import corpus
+from tscan_spark.cache import carry_caches, with_cache as _with_cache
 
 MIN_PART = 3  # minimal satellite/head length in characters
 MIN_COMPOUND = 2 * MIN_PART
 
 
 def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wf_count) vocabulary dim, PERSISTED.
+
+    The splitter consumes this dim ~5 times (short-word candidates,
+    synthetic anti-join, base union, satellite lookup, head lookup);
+    without the cache each consumer re-ran the token scan + word
+    aggregate (guide §2.4). It also only needs counts — the previous
+    word_freq() call dragged the whole two-stage rank machinery
+    (range exchange + offsets broadcast) into every one of those
+    subtrees for columns the splitter immediately dropped."""
     docs = corpus.load(spark, sf_dir, "documents")
-    return lexicons.word_freq(docs).select("word", "wf_count")
+    counts = (
+        corpus.tokens_long(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf_count"))
+        .persist()
+    )
+    return _with_cache(counts, counts)
 
 
 # The synthetic corpus vocabulary contains no native compounds, so the
@@ -170,7 +186,7 @@ def compound_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = words.join(best, "word", "left")
-    return out.select(
+    sel = out.select(
         "word",
         "wf_count",
         "in_corpus",
@@ -179,6 +195,7 @@ def compound_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head",
         "rule",
     )
+    return carry_caches(sel, vocab)
 
 
 def sql_compound_split() -> str:
@@ -281,7 +298,8 @@ RELEM_RULES = [
 
 def relemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output (vocab grain): word, lemma2, rule."""
-    vocab = _vocab(spark, sf_dir).select("word")
+    vocab_dim = _vocab(spark, sf_dir)
+    vocab = carry_caches(vocab_dim.select("word"), vocab_dim)
     out = vocab
     for suf, rep, name in RELEM_RULES:
         cand_expr = F.when(
@@ -305,7 +323,9 @@ def relemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = F.col(f"_m_{name}").isNotNull()
         lemma2 = F.when(hit, F.col(f"_m_{name}")).otherwise(lemma2)
         rule = F.when(hit, F.lit(name)).otherwise(rule)
-    return out.select("word", lemma2.alias("lemma2"), rule.alias("rule"))
+    return carry_caches(
+        out.select("word", lemma2.alias("lemma2"), rule.alias("rule")), vocab
+    )
 
 
 def sql_relemmatize() -> str:
