@@ -110,6 +110,24 @@ def test_bucketed_join_runs_without_shuffle(spark, tmp_path_factory):
         spark.sql("DROP TABLE t_b")
 
 
+def test_asof_merge_construction_is_lazy(spark):
+    """The merge-path as-of join must not run a job at DataFrame-
+    construction time (round-5 advice: a left.count() used to derive
+    n_buckets eagerly — a full fact-side scan per construction)."""
+    import pyspark.sql.classic.dataframe as D
+
+    def _boom(self):
+        raise AssertionError("count() during asof_join construction")
+
+    orig = D.DataFrame.count
+    D.DataFrame.count = _boom
+    try:
+        df = QUERIES["asof_lexicon_features"](spark, SF_DIR)
+    finally:
+        D.DataFrame.count = orig
+    assert df.count() > 0
+
+
 def test_asof_join_prunes_lexicon_columns(spark):
     """The as-of feature query must not read the documents text column
     twice: its optimized plan projects only what the join needs."""

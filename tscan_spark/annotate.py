@@ -25,6 +25,8 @@ Classifier families mirrored from the reference (SURVEY.md §2.2):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -123,18 +125,26 @@ def lexicon_df(spark: SparkSession, mapping: dict[str, str], key: str, val: str)
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a literal for embedding in a Spark SQL string."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def lexicon_map(mapping: dict[str, str], key: Column) -> Column:
     """Closed-class lexicon as a literal map lookup.
 
     For compile-time-constant lexicons (connectives, situations — tens of
-    entries) a literal ``create_map`` lookup constant-folds into
-    whole-stage codegen: zero exchanges, zero broadcast setup. Corpus-
-    derived lexicons (word_freq) stay broadcast *joins* since they are
-    data, not constants."""
-    kv: list[Column] = []
-    for k, v in sorted(mapping.items()):
-        kv.extend([F.lit(k), F.lit(v)])
-    return F.element_at(F.create_map(*kv), key)
+    entries) a literal map lookup constant-folds into whole-stage
+    codegen: zero exchanges, zero broadcast setup. Corpus-derived
+    lexicons (word_freq) stay broadcast *joins* since they are data,
+    not constants. The map literal is built as ONE parsed SQL
+    expression: the former per-entry F.lit() construction cost 2 py4j
+    round trips per entry across ~50 call sites, a measured driver-side
+    construction hotspot of every annotation-ladder query (guide §5)."""
+    entries = ", ".join(
+        f"'{_sql_str(k)}', '{_sql_str(v)}'" for k, v in sorted(mapping.items())
+    )
+    return F.element_at(F.expr(f"map({entries})"), key)
 
 
 def annotate(tok: DataFrame) -> DataFrame:
@@ -147,17 +157,27 @@ def annotate(tok: DataFrame) -> DataFrame:
     """
     # two select stages, not a withColumn chain: every withColumn is a
     # fresh Project node the analyzer re-resolves over all columns, and
-    # the profile's wide plans made that resolution the dominant cost
+    # the profile's wide plans made that resolution the dominant cost.
+    # Expression lists are built once per process (_annot_stage1/2):
+    # they are unresolved Column trees over module constants only, and
+    # rebuilding them per call was pure py4j round-trip cost (guide §5).
+    return tok.select("*", *_annot_stage1()).select("*", *_annot_stage2())
+
+
+@lru_cache(maxsize=None)
+def _annot_stage1() -> tuple:
     w = F.col("word")
-    out = tok.select(
-        "*",
+    return (
         F.lower(w).alias("l_word"),
         F.length(w).alias("char_cnt"),
         tag_expr(w).alias("tag"),
         lemma_expr(w).alias("lemma"),
     )
-    return out.select(
-        "*",
+
+
+@lru_cache(maxsize=None)
+def _annot_stage2() -> tuple:
+    return (
         F.col("tag").isin(CONTENT_TAGS).cast("int").alias("is_content"),
         F.col("l_word").isin(NEG_WORDS).cast("int").alias("is_neg"),
         F.col("lemma").isin(STOP_LEMMATA).cast("int").alias("is_stop"),
@@ -453,20 +473,12 @@ def annotate_extended(
     :func:`nouns_dim_lookup` instead of the synthetic-analog literal
     maps; every downstream flag (sem_unfound, strict content, personal
     reference, fan-out counters) derives identically from the result.
+
+    Two select stages (see annotate); the default-branch expression
+    lists are process-cached (_annot_ext_stage1/2) — pure constant
+    Column trees whose per-call rebuild was py4j round-trip cost.
     """
-    # two select stages (see annotate): stage 1 adds the independent
-    # classifiers, stage 2 the ones depending on stage-1 columns
-    w, lem, tag = F.col("word"), F.col("lemma"), F.col("tag")
-
-    # W7: prefix morphological negation
-    morph_neg = F.lit(False)
-    for p in MORPH_NEG_PREFIXES:
-        morph_neg = morph_neg | w.startswith(p)
-
-    # W24: full lexical nominalization rule (morpheme + tail branches;
-    # the verb-under-NP parse branch lives in operators/parse.py)
-    nominal = nominal_lexical_expr(w, tag)
-
+    w, tag = F.col("word"), F.col("tag")
     if nouns_dim is not None:
         tok_annotated = nouns_dim_lookup(tok_annotated, nouns_dim)
         sem_expr = F.when(tag.isin(["N", "ADJ"]), F.col("_file_sem"))
@@ -475,33 +487,60 @@ def annotate_extended(
         is_comp = (tag == "N") & (F.coalesce(F.col("_file_is_comp"), F.lit(0)) == 1)
         comp_head = F.when(is_comp, F.col("_file_head"))
         comp_head_len = F.when(is_comp, F.length("_file_head"))
-    else:
-        # W10/W11: semantic type via the findInflected cascade — lemma
-        # first (checkNoun tscan.cxx:1342), then the word form (checkAdj
-        # tscan.cxx:1411-1415 tries l_lemma then l_word), each with the
-        # ±e/en/s suffix fallback (utils.h:32-55)
-        sem_expr = F.when(
-            tag.isin(["N", "ADJ"]),
-            F.coalesce(inflected_lookup(NOUN_SEM, lem), inflected_lookup(NOUN_SEM, w)),
+        out = tok_annotated.select(
+            "*",
+            *_annot_ext_shared_pre(),
+            sem_expr.alias("noun_sem"),
+            *_annot_ext_shared_mid(),
+            is_comp.cast("int").alias("is_compound"),
+            comp_head.alias("comp_head"),
+            comp_head_len.alias("comp_head_len"),
+            *_annot_ext_shared_post(),
         )
-        # W25: compound split (head = all but last 3 chars, sat = last 3)
-        is_comp = (tag == "N") & (F.length(w) >= COMPOUND_MIN_LEN)
-        comp_head = F.when(is_comp, F.substr(w, F.lit(1), F.length(w) - COMPOUND_SAT_LEN))
-        comp_head_len = F.when(is_comp, F.length(w) - COMPOUND_SAT_LEN)
+        # the file's explicit satellite (analog mode derives comp_sat by
+        # the char-split rule later, in pipeline_ratios._word_grain)
+        out = out.withColumn(
+            "comp_sat",
+            F.when(F.col("is_compound") == 1, F.col("_file_sat")),
+        ).drop("_file_sem", "_file_is_comp", "_file_head", "_file_sat")
+    else:
+        out = tok_annotated.select("*", *_annot_ext_stage1())
+    return out.select("*", *_annot_ext_stage2())
 
-    out = tok_annotated.select(
-        "*",
-        morph_neg.cast("int").alias("is_morph_neg"),
-        sem_expr.alias("noun_sem"),
+
+@lru_cache(maxsize=None)
+def _annot_ext_shared_pre() -> tuple:
+    """Stage-1 columns shared by both branches, BEFORE noun_sem."""
+    w, tag = F.col("word"), F.col("tag")
+    # W7: prefix morphological negation
+    morph_neg = F.lit(False)
+    for p in MORPH_NEG_PREFIXES:
+        morph_neg = morph_neg | w.startswith(p)
+    return (morph_neg.cast("int").alias("is_morph_neg"),)
+
+
+@lru_cache(maxsize=None)
+def _annot_ext_shared_mid() -> tuple:
+    """Stage-1 columns shared by both branches, between noun_sem and
+    the compound block (order preserved exactly)."""
+    w, tag = F.col("word"), F.col("tag")
+    # W24: full lexical nominalization rule (morpheme + tail branches;
+    # the verb-under-NP parse branch lives in operators/parse.py)
+    nominal = nominal_lexical_expr(w, tag)
+    return (
         # W15: adverb type
         F.when(tag == "BW", lexicon_map(ADVERB_TYPES, w)).alias("adverb_type"),
         # W16: abbreviation domain (N/SPEC gate like checkAfk)
         F.when(tag.isin(["N", "SPEC"]), lexicon_map(AFK_DOMAINS, w)).alias("afk_domain"),
         nominal.cast("int").alias("is_nominal"),
-        is_comp.cast("int").alias("is_compound"),
-        comp_head.alias("comp_head"),
-        comp_head_len.alias("comp_head_len"),
-        # W4: synthetic CGN property decode
+    )
+
+
+@lru_cache(maxsize=None)
+def _annot_ext_shared_post() -> tuple:
+    """Stage-1 trailing columns shared by both branches (W4 props)."""
+    w, tag = F.col("word"), F.col("tag")
+    return (
         F.when(
             tag == "WW", F.when(F.length(w) % 2 == 0, "pv").otherwise("inf")
         ).alias("verb_form"),
@@ -511,15 +550,39 @@ def annotate_extended(
             F.when(F.substring(w, 1, 1) <= "p", "prenom").otherwise("vrij"),
         ).alias("adj_pos"),
     )
-    if nouns_dim is not None:
-        # the file's explicit satellite (analog mode derives comp_sat by
-        # the char-split rule later, in pipeline_ratios._word_grain)
-        out = out.withColumn(
-            "comp_sat",
-            F.when(F.col("is_compound") == 1, F.col("_file_sat")),
-        ).drop("_file_sem", "_file_is_comp", "_file_head", "_file_sat")
-    return out.select(
-        "*",
+
+
+@lru_cache(maxsize=None)
+def _annot_ext_stage1() -> tuple:
+    """Default-branch stage-1 list (synthetic-analog lexicons)."""
+    w, lem, tag = F.col("word"), F.col("lemma"), F.col("tag")
+    # W10/W11: semantic type via the findInflected cascade — lemma
+    # first (checkNoun tscan.cxx:1342), then the word form (checkAdj
+    # tscan.cxx:1411-1415 tries l_lemma then l_word), each with the
+    # ±e/en/s suffix fallback (utils.h:32-55)
+    sem_expr = F.when(
+        tag.isin(["N", "ADJ"]),
+        F.coalesce(inflected_lookup(NOUN_SEM, lem), inflected_lookup(NOUN_SEM, w)),
+    )
+    # W25: compound split (head = all but last 3 chars, sat = last 3)
+    is_comp = (tag == "N") & (F.length(w) >= COMPOUND_MIN_LEN)
+    comp_head = F.when(is_comp, F.substr(w, F.lit(1), F.length(w) - COMPOUND_SAT_LEN))
+    comp_head_len = F.when(is_comp, F.length(w) - COMPOUND_SAT_LEN)
+    return (
+        *_annot_ext_shared_pre(),
+        sem_expr.alias("noun_sem"),
+        *_annot_ext_shared_mid(),
+        is_comp.cast("int").alias("is_compound"),
+        comp_head.alias("comp_head"),
+        comp_head_len.alias("comp_head_len"),
+        *_annot_ext_shared_post(),
+    )
+
+
+@lru_cache(maxsize=None)
+def _annot_ext_stage2() -> tuple:
+    tag = F.col("tag")
+    return (
         # UNFOUND_NOUN (checkNoun tscan.cxx:1385-1393): an N-tagged word
         # with no semantic type — the S10 problems.log trigger
         ((tag == "N") & F.col("noun_sem").isNull()).cast("int").alias("sem_unfound"),
@@ -617,10 +680,14 @@ def overlap_keys_expr(col: Column) -> Column:
     Two words overlap-match iff their key arrays intersect — equality
     via the word key, pronoun equivalence via a shared class marker
     (markers start with '#', disjoint from surface words)."""
-    kv: list[Column] = []
-    for w, marks in sorted(_PRONOUN_MARKERS.items()):
-        kv.extend([F.lit(w), F.array(*[F.lit(m) for m in marks])])
-    markers = F.coalesce(F.element_at(F.create_map(*kv), col), F.array())
+    entries = ", ".join(
+        "'{w}', array({marks})".format(
+            w=_sql_str(w),
+            marks=", ".join(f"'{_sql_str(m)}'" for m in marks),
+        )
+        for w, marks in sorted(_PRONOUN_MARKERS.items())
+    )
+    markers = F.coalesce(F.element_at(F.expr(f"map({entries})"), col), F.array())
     return F.concat(F.array(col), markers)
 
 

@@ -177,19 +177,34 @@ def _vocab_features(spark: SparkSession, documents: DataFrame) -> dict:
         F.lit(0).alias("sent_idx"),
         F.lit(0).alias("par_idx"),
         "word",
-        "token_id",
     )
     ann = annotate.annotate_extended(annotate.annotate(fake))
-    rows = ann.select(
-        "word",
-        "token_id",
-        "lemma",
-        "is_content",
-        "is_content_strict",
-        "noun_sem",
-        "conn_type",
-        "sit_type",
-    ).collect()
+    rows = ann.select(*_VOCAB_FEAT_COLS).collect()
+    return _vocab_feature_dict(rows)
+
+
+_VOCAB_FEAT_COLS = (
+    "word",
+    "lemma",
+    "is_content",
+    "is_content_strict",
+    "noun_sem",
+    "conn_type",
+    "sit_type",
+)
+
+
+def _vocab_features_from_grain(grain: DataFrame) -> dict:
+    """The same dict built from an ALREADY-ANNOTATED token grain (the
+    unified profile's shared grain): one distinct over the vocabulary
+    instead of re-deriving and re-analyzing the whole annotation ladder
+    — annotations are pure functions of the word, so per-word rows are
+    identical to the _vocab_features path."""
+    rows = grain.select(*_VOCAB_FEAT_COLS).distinct().collect()
+    return _vocab_feature_dict(rows)
+
+
+def _vocab_feature_dict(rows) -> dict:
     # dense ids local to the snapshot (MTLD only needs distinctness, and
     # the fold's epoch-marked scratch indexes by id — corpus token_ids
     # are content hashes, far too sparse to index a scratch array with)
@@ -231,7 +246,10 @@ UNKNOWN_FEAT = (0, 0, 0, -1, -1)
 
 
 def doc_mtld(
-    spark: SparkSession, sf_dir: str, vocab_sf_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_sf_dir: str | None = None,
+    grain: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MTLD over the reference's full stream battery
     (calculate_MTLDs, src/tscan.cxx:1877-1975): words, lemmas, content,
@@ -255,7 +273,9 @@ def doc_mtld(
     # one torrent-distributed copy per executor instead of a re-pickled
     # closure copy per task (the round-1 transport weakness).
     feats_bc = spark.sparkContext.broadcast(
-        _vocab_features(
+        _vocab_features_from_grain(grain)
+        if grain is not None
+        else _vocab_features(
             spark,
             corpus.load(spark, vocab_sf_dir, "documents") if vocab_sf_dir else documents,
         )

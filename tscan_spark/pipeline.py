@@ -26,6 +26,8 @@ variant in operators/skew.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,6 +82,26 @@ def sentence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sentence_agg(wordf: DataFrame) -> DataFrame:
+    sent = (
+        wordf.groupBy("doc_id", "par_idx", "sent_idx")
+        .agg(*_sentence_aggs())
+        .withColumn(
+            "sent_wfl",
+            F.when(
+                F.col("content_cnt") != 0,
+                round6_fp(
+                    F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt")
+                ),
+            ),
+        )
+    )
+    return sent
+
+
+@lru_cache(maxsize=None)
+def _sentence_aggs() -> tuple:
+    """A1 sentence-counter aggregates, built once per process (pure
+    constant Column trees; per-call rebuild was py4j round-trip cost)."""
     aggs = [
         F.count(F.lit(1)).alias("word_cnt"),
         F.sum((F.col("is_content") == 1).cast("int") * (1 - F.col("is_stop"))).alias(
@@ -98,20 +120,7 @@ def _sentence_agg(wordf: DataFrame) -> DataFrame:
     ]
     for band, _ in lexicons.BANDS:
         aggs.append(F.sum(f"is_{band}").alias(f"{band}_cnt"))
-    sent = (
-        wordf.groupBy("doc_id", "par_idx", "sent_idx")
-        .agg(*aggs)
-        .withColumn(
-            "sent_wfl",
-            F.when(
-                F.col("content_cnt") != 0,
-                round6_fp(
-                    F.col("wfl_fp") / F.lit(float(FP_SCALE)) / F.col("content_cnt")
-                ),
-            ),
-        )
-    )
-    return sent
+    return tuple(aggs)
 
 
 _SENT_SUM_COLS = [
@@ -154,7 +163,26 @@ def doc_features(
     if wordf is None:
         wordf = word_features(spark, sf_dir, word_freq_dim=word_freq_dim)
     sent = _sentence_agg(wordf)
-    doc = sent.groupBy("doc_id").agg(
+    doc = sent.groupBy("doc_id").agg(*_doc_aggs())
+
+    # one token-grain doc aggregate covers exact distincts (A4) and the
+    # per-class fan-out counters (A1 switch fan-out -> indicator sums;
+    # NULL-safe when/otherwise: `(col == c).cast(int)` is NULL on NULL
+    # rows and would make an all-NULL group sum to NULL instead of 0)
+    uniq = wordf.groupBy("doc_id").agg(*_uniq_aggs())
+    # rarity (A6): fraction of distinct lemmas with in-doc count <= level
+    lemma_cnt = wordf.groupBy("doc_id", "lemma").agg(F.count(F.lit(1)).alias("n"))
+    rarity = lemma_cnt.groupBy("doc_id").agg(
+        F.avg((F.col("n") <= RARITY_LEVEL).cast("int")).alias("rarity")
+    )
+
+    out = doc.join(uniq, "doc_id").join(rarity, "doc_id")
+    return out.select(*_doc_select_cols())
+
+
+@lru_cache(maxsize=None)
+def _doc_aggs() -> tuple:
+    return (
         *[F.sum(c).alias(c) for c in _SENT_SUM_COLS],
         F.count(F.lit(1)).alias("sent_cnt"),
         F.countDistinct("par_idx").alias("par_cnt"),
@@ -164,11 +192,10 @@ def doc_features(
         F.sum(F.col("sent_wfl").isNotNull().cast("int")).alias("sent_wfl_cnt"),
     )
 
-    # one token-grain doc aggregate covers exact distincts (A4) and the
-    # per-class fan-out counters (A1 switch fan-out -> indicator sums;
-    # NULL-safe when/otherwise: `(col == c).cast(int)` is NULL on NULL
-    # rows and would make an all-NULL group sum to NULL instead of 0)
-    uniq = wordf.groupBy("doc_id").agg(
+
+@lru_cache(maxsize=None)
+def _uniq_aggs() -> tuple:
+    return (
         F.countDistinct("l_word").alias("uniq_words"),
         F.countDistinct("lemma").alias("uniq_lemmas"),
         *[
@@ -184,15 +211,12 @@ def doc_features(
             for s in SIT_CLASSES
         ],
     )
-    # rarity (A6): fraction of distinct lemmas with in-doc count <= level
-    lemma_cnt = wordf.groupBy("doc_id", "lemma").agg(F.count(F.lit(1)).alias("n"))
-    rarity = lemma_cnt.groupBy("doc_id").agg(
-        F.avg((F.col("n") <= RARITY_LEVEL).cast("int")).alias("rarity")
-    )
 
-    out = doc.join(uniq, "doc_id").join(rarity, "doc_id")
+
+@lru_cache(maxsize=None)
+def _doc_select_cols() -> tuple:
     r6 = lambda c: F.round(c, 6)
-    return out.select(
+    return (
         F.col("doc_id").cast("long").alias("doc_id"),
         *[F.col(c).cast("long").alias(c) for c in _SENT_SUM_COLS],
         F.col("sent_cnt").cast("long").alias("sent_cnt"),
@@ -231,7 +255,7 @@ def doc_features(
             ),
         ).alias("wfl_sent_avg"),
         r6(F.col("rarity")).alias("rarity"),
-    )
+    )  # noqa: this tuple is the cached doc-grain select list
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,8 @@ and a LiNT-style readability score with clamp + level bands
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -66,6 +68,15 @@ def doc_features_ext(
         F.count(F.lit(1)).alias("sent_cnt"),
     )
 
+    doc = wordf.groupBy("doc_id").agg(*_ext_aggs())
+    out = doc.join(sent_doc, "doc_id")
+    return out.select(*_ext_select_cols())
+
+
+@lru_cache(maxsize=None)
+def _ext_aggs() -> tuple:
+    """Doc-grain extended-battery aggregates, built once per process
+    (constant Column trees; per-call rebuild was py4j round trips)."""
     aggs = [
         F.count(F.lit(1)).alias("word_cnt"),
         F.sum("is_morph_neg").alias("morph_neg_cnt"),
@@ -102,9 +113,11 @@ def doc_features_ext(
                 f"afk_{c.lower()}_cnt"
             )
         )
-    doc = wordf.groupBy("doc_id").agg(*aggs)
-    out = doc.join(sent_doc, "doc_id")
+    return tuple(aggs)
 
+
+@lru_cache(maxsize=None)
+def _ext_select_cols() -> tuple:
     r6 = lambda c: F.round(c, 6)
     wrd_per_zin = F.col("word_cnt") / F.col("sent_cnt")
     content_ratio = F.col("content_strict_cnt") / F.col("word_cnt")
@@ -147,7 +160,7 @@ def doc_features_ext(
         + [f"afk_{c.lower()}_cnt" for c in AFK_CLASSES]
         + ["multi_neg_cnt", "question_cnt", "sent_cnt"]
     )
-    return out.select(
+    return (
         F.col("doc_id").cast("long").alias("doc_id"),
         *[F.col(c).cast("long").alias(c) for c in count_cols],
         r6(proportion("uniq_strict_lemmas", "content_strict_cnt")).alias("ttr_strict"),

@@ -28,6 +28,8 @@ independent of partitioning and summation order.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -164,11 +166,15 @@ def _word_grain(
     )
 
 
-def doc_ratios(
-    spark: SparkSession, sf_dir: str, wordf: DataFrame | None = None
-) -> DataFrame:
-    """The doc-grain fan-out/compound/density vector (~40 columns)."""
-    tok = _word_grain(spark, sf_dir, base=wordf)
+@lru_cache(maxsize=None)
+def _ratio_aggs() -> tuple:
+    """The ~140 doc-grain aggregate expressions, built ONCE per process.
+
+    Pure unresolved Column trees over module constants — no data, no
+    session state — so they are safely shared across plans. Building
+    them cost ~2s of py4j round trips per doc_ratios call (the measured
+    driver-side construction hotspot of the profile family, guide §5);
+    the cache makes that a one-time cost."""
     tag, sem = F.col("tag"), F.col("noun_sem")
     is_comp = F.col("is_compound") == 1
     cnt = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
@@ -337,21 +343,29 @@ def doc_ratios(
                 .alias(f"{band}_head_cnt")
             )
 
-    doc = tok.groupBy("doc_id").agg(*aggs)
+    return tuple(aggs)
+
+
+@lru_cache(maxsize=None)
+def _post_agg_cols() -> tuple:
+    """Density + ratio projections over the aggregate counters — one
+    select list built once per process (formerly ~20 withColumn steps,
+    each a fresh Project the analyzer re-resolved over ~300 columns)."""
+    post = []
     # densities per 1000 words (utils.h:89-97 NA semantics)
     for name, _ in DENSITY_FLAGS:
-        doc = doc.withColumn(
-            f"{name}_d", F.round(density(f"{name}_cnt", "word_cnt"), 6)
-        )
+        post.append(F.round(density(f"{name}_cnt", "word_cnt"), 6).alias(f"{name}_d"))
     for c in CONN_CLASSES:
-        doc = doc.withColumn(
-            f"conn_{c.lower()}_d",
-            F.round(density(f"conn_{c.lower()}_cnt", "word_cnt"), 6),
+        post.append(
+            F.round(density(f"conn_{c.lower()}_cnt", "word_cnt"), 6).alias(
+                f"conn_{c.lower()}_d"
+            )
         )
     for c in SIT_CLASSES:
-        doc = doc.withColumn(
-            f"sit_{c.lower()}_d",
-            F.round(density(f"sit_{c.lower()}_cnt", "word_cnt"), 6),
+        post.append(
+            F.round(density(f"sit_{c.lower()}_cnt", "word_cnt"), 6).alias(
+                f"sit_{c.lower()}_d"
+            )
         )
     # reference-shaped ratio select (wordDifficulties/compoundToCSV,
     # structstats.cxx:185-313) over the counters above
@@ -402,7 +416,16 @@ def doc_ratios(
                 f"{band}_nw_corr_p"
             ),
         ]
-    return doc.select("*", *ratio_cols)
+    return tuple(post + ratio_cols)
+
+
+def doc_ratios(
+    spark: SparkSession, sf_dir: str, wordf: DataFrame | None = None
+) -> DataFrame:
+    """The doc-grain fan-out/compound/density vector (~40 columns)."""
+    tok = _word_grain(spark, sf_dir, base=wordf)
+    doc = tok.groupBy("doc_id").agg(*_ratio_aggs())
+    return doc.select("*", *_post_agg_cols())
 
 
 def doc_ratios_columns() -> list[str]:

@@ -30,6 +30,8 @@ doc_id groupBy.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -173,6 +175,15 @@ def doc_sem_fine(
     tok = tok.select(
         "*", corpus.content_hash_expr(F.col("lemma")).alias("_lh")
     )
+    t = tok.select(*keys, *_sem_proj_cols())
+    doc = t.groupBy(*keys).agg(*_sem_aggs())
+    return doc.select(*_sem_out_cols(keys))
+
+
+@lru_cache(maxsize=None)
+def _sem_proj_cols() -> tuple:
+    """Token-grain subtype projection, built once per process (constant
+    Column trees; the per-call rebuild was py4j round-trip cost)."""
     lh = F.col("_lh")
     tag, sem = F.col("tag"), F.col("noun_sem")
 
@@ -216,8 +227,7 @@ def doc_sem_fine(
     part_pos = F.when(
         part_form.isin("vd", "od"), _pick(_salt_hash("#ppos", lh), PART_POS)
     )
-    t = tok.select(
-        *keys,
+    return (
         "sent_idx",
         tag.alias("tag"),
         part_form.alias("part_form"),
@@ -238,6 +248,11 @@ def doc_sem_fine(
         ),
         F.col("lemma").isin(annotate.STOP_LEMMATA).cast("int").alias("is_lidw"),
     )
+
+
+@lru_cache(maxsize=None)
+def _sem_aggs() -> tuple:
+    tag = F.col("tag")
 
     def cnt(cond, name: str) -> Column:
         # when(cond, 1).otherwise(0), NOT cond.cast("int"): equality
@@ -285,8 +300,11 @@ def doc_sem_fine(
                     f"{col}_{pos}_cnt",
                 )
             )
-    doc = t.groupBy(*keys).agg(*aggs)
+    return tuple(aggs)
 
+
+@lru_cache(maxsize=None)
+def _sem_out_cols(keys: tuple[str, ...]) -> tuple:
     r6 = lambda c: F.round(c, 6)  # noqa: E731
     wc = F.col("word_cnt")
     out = [
@@ -379,7 +397,7 @@ def doc_sem_fine(
         r6(density("pv_frog_cnt", wc)).alias("pv_frog_d"),
         r6(proportion("pv_frog_cnt", "sent_cnt")).alias("pv_frog_per_zin"),
     ]
-    return doc.select(*out)
+    return tuple(out)
 
 
 # --- DuckDB oracle (rendered from the same inventories) -------------------

@@ -1336,11 +1336,13 @@ def _doc_profile_impl(
 
     ``staging_dir=None`` (in-memory variant): the grains are NOT
     persisted — both are pure codegen projections over a small scan,
-    and measured persist cost exceeded the recompute at sf0.1 (37s vs
-    27s — cache materialization is a barrier plus a columnar
-    encode/decode per consumer). Each aggregation path physically
-    recomputes the grain lineage; fine at bench scale, ~12 corpus
-    passes at 100 TB.
+    and every materialization strategy measured SLOWER than recompute
+    at sf0.1: plain persist 37s vs 27s (round 2), eager localCheckpoint
+    23.4s -> 31.4s for the pair (round 6 A/B) — the materialization
+    barrier plus block encode/decode per consumer outweighs the ~12
+    recomputed codegen passes at this scale. Each aggregation path
+    physically recomputes the grain lineage; fine at bench scale, ~12
+    corpus passes at 100 TB (use staging_dir there).
 
     ``staging_dir=<path>`` (the PRODUCTION shape, PLANS.md:158-164):
     the two grains are materialized ONCE to staging parquet tables and
@@ -1390,6 +1392,7 @@ def _doc_profile_impl(
         "tscan_sem_fine": lambda: pipeline_sem.doc_sem_fine(
             spark, sf_dir, wordf=grain
         ),
+        "doc_mtld": lambda: sequential.doc_mtld(spark, sf_dir, grain=grain),
     }
     out = None
     for name, drops in _PROFILE_PARTS:

@@ -26,6 +26,14 @@ _RUNTIME_CONF = {
     # engine is far below that (reference lexicons are ~3.5 MB each,
     # /root/reference/data/prevalence_nl.data)
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # PySpark 4's DataFrame debugging wraps EVERY DataFrame/Column op to
+    # capture its Python call site for error context — ~4 py4j round
+    # trips + a stack walk per op. The wide-vector builders here issue
+    # thousands of ops per query, and profiling showed this wrapper as
+    # ~half of tscan_doc_profile's 14s driver-side construction time
+    # (guide §5: the driver should do almost no work). Error messages
+    # lose only the Python call-site decoration.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -38,7 +46,30 @@ def tune(spark: SparkSession) -> SparkSession:
             # conf locked by the host session — keep going; every
             # operator is still correct, only planning quality varies.
             pass
+    _tune_gateway_sockets()
     return spark
+
+
+def _tune_gateway_sockets() -> None:
+    """Set TCP_NODELAY on the py4j command sockets.
+
+    py4j leaves Nagle's algorithm on; every DataFrame/Column call is a
+    small synchronous request/response, and wide-vector query
+    construction issues tens of thousands of them. Measured: ~0.8ms ->
+    ~0.6ms per round trip on this host. Driver-side only; best effort.
+    """
+    import socket as _socket
+
+    try:
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        for conn in list(getattr(gw._gateway_client, "deque", [])):
+            sock = getattr(conn, "socket", None)
+            if sock is not None:
+                sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+    except Exception:
+        pass
 
 
 def _default_driver_mem() -> str:
