@@ -5,6 +5,8 @@ re-exports to the driver."""
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -922,7 +924,16 @@ def q_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, metric, value) sink format (the reference's <metric>
     annotations, addOneMetric structstats.cxx:1051-1368)."""
     doc = pipeline.doc_features(spark, sf_dir)
-    stack_expr = F.explode(
+    return doc.select("doc_id", _metrics_stack_expr()).select(
+        "doc_id", F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value")
+    )
+
+
+@_lru_cache(maxsize=None)
+def _metrics_stack_expr():
+    """The ~50-struct unpivot array, built once per process (constant
+    Column tree; per-call rebuild was ~300 py4j round trips)."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -932,9 +943,6 @@ def q_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("kv")
-    return doc.select("doc_id", stack_expr).select(
-        "doc_id", F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1836,65 +1844,66 @@ def q_corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-5-registered pack_sequences_fine.  The remaining queries keep
 # their relative definition order after the prefix.
 #
-# Round-6 rotation note: recompute the prefix as
-#   never-hashed-by-any-CORRECTNESS_r*.json first, then ascending
-#   most-recent-hashed-round — i.e. rerun the same policy against the
-#   union of all driver artifacts, so coverage keeps rotating.
+# Round-6 rotation (applied below, same policy): the 5 never-GREEN
+# queries lead (the round-5 hash-reds, now dtype-aligned — VERDICT r5
+# "Next round" #1 requires them hashed green this round), then
+# ascending most-recent-hashed-round over the union of
+# CORRECTNESS_r01..r05 (the r3-hashed block first — the r1-hashed
+# name was since renamed — then the r4-hashed alphabetically to 50).
+# Round-7 rotation note: rerun the same policy against the union
+# including CORRECTNESS_r06.json — the r5-hashed block (45 green rows)
+# is then the least-recent and rotates in.
 _GATE_ROTATION_PREFIX = [
-    "parse_embedded_clauses",
-    "parse_cache_join",
-    "parse_verb_features",
-    "parse_dep_pairs",
-    "tscan_nominalization",
-    "parse_verb_doc",
-    "surprisal_paragraph_features",
-    "tscan_sem_fine",
-    "tscan_sem_fine_par",
     "tscan_doc_profile",
     "tscan_doc_profile_staged",
     "token_drift_kl",
     "vocab_growth",
-    "training_order_shuffle",
-    "quality_logreg",
-    "incremental_features",
-    "select_token_budget",
-    "source_overlap_matrix",
-    "temperature_mix_rates",
-    "dedup_keep_best",
-    "dedup_incremental",
     "kmeans_clusters",
-    "bm25_scores",
-    "tfidf_keywords",
-    "dsir_importance",
-    "zipf_fit",
-    "source_length_stats",
-    "unigram_entropy",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "curate_pipeline",
-    "eval_split",
-    "ann_recall_eval",
-    "dedup_recall_eval",
-    "quality_quantile_gate",
-    "pmi_collocations",
-    "source_embedding_drift",
-    "rel_shipping_priority",
-    "rel_local_supplier_volume",
-    "lang_label_audit",
-    "jsonl_roundtrip",
-    "corpus_stats_summary",
-    "surprisal_features",
-    "tscan_staph_bands",
-    "ner_features",
-    "ner_token_lookup",
-    "np_chunk_features",
-    "parse_clause_counts",
-    # round-5 registrations (second sharding of the cardinality-derived
-    # pack; the zero-shuffle as-of timeline plan), never driver-hashed —
-    # they take the padding slots of parse_dep_distance /
-    # parse_doc_summary (both round-3 hashed)
-    "asof_lexicon_features_array",
-    "pack_sequences_fine",
+    "parse_dep_distance",
+    "parse_doc_summary",
+    "parse_tree_depth",
+    "prevalence_features",
+    "problems_log",
+    "rel_customers_without_orders",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_orders",
+    "tscan_doc_features_ext",
+    "tscan_doc_ratios",
+    "tscan_general_doc_features",
+    "tscan_metrics_long",
+    "tscan_paragraph_features",
+    "tscan_paragraph_features_ext",
+    "tscan_sentence_features_ext",
+    "tscan_word_csv",
+    "tscan_word_features_dim",
+    "als_connectives",
+    "asof_lexicon_features",
+    "asof_lexicon_features_broadcast",
+    "backfill_events",
+    "bpe_apply_merge",
+    "bpe_tokenize",
+    "bpe_top_pairs",
+    "compound_split",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans",
+    "doc_fingerprint",
+    "doc_mtld",
+    "doc_sliding_overlap",
+    "docs_tokenized",
+    "domain_mix_rates",
+    "frog_feature_decode",
+    "lag_lead_events",
+    "lang_id",
+    "lm_bigram_doc",
+    "lm_perplexity_buckets",
+    "multimodal_decode",
 ]
 
 
