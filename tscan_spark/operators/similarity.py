@@ -378,8 +378,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
-        # a pair at Hamming<=1 is found from both endpoints' probes
-        .distinct()
+        # no distinct: a vector's 9 probe values (own bucket + 8
+        # single-bit flips) are pairwise distinct, so a given
+        # (vec_id_a, vec_id_b) can match on AT MOST one probe row —
+        # candidates are unique by construction and the former
+        # distinct() paid a full exchange + aggregate for nothing
+        # (verified: pair count == distinct count at all three SFs;
+        # the oracle's DISTINCT dedupes the same already-unique set)
     )
     # verify at PAIR grain: each candidate picks up both embedding
     # arrays by key and the fixed-point dot folds inside the row
