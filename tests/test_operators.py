@@ -896,19 +896,31 @@ def test_cc_two_phase_chain_converges_in_log_rounds(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    labels, rounds = dedup._cc_two_phase(chain)
+    # driver_max_edges=0 forces the distributed star loop (the round-6
+    # union-find fast path would otherwise resolve this sub-threshold
+    # graph on the driver)
+    labels, rounds = dedup._cc_two_phase(chain, driver_max_edges=0)
     got = {r.node: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
-    assert rounds <= 24, rounds
+    assert 0 < rounds <= 24, rounds
     # shallow graphs exit fast too: two disjoint triangles in <= 3
     tri = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
         "doc_a long, doc_b long",
     )
-    labels2, rounds2 = dedup._cc_two_phase(tri)
+    labels2, rounds2 = dedup._cc_two_phase(tri, driver_max_edges=0)
     got2 = {r.node: r.label for r in labels2.collect()}
     assert got2 == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
-    assert rounds2 <= 3, rounds2
+    assert 0 < rounds2 <= 3, rounds2
+    # the sub-threshold union-find fast path assigns identical labels
+    # (and reports 0 distributed rounds)
+    for g in (chain, tri):
+        fast, r0 = dedup._cc_two_phase(g)
+        loop, _ = dedup._cc_two_phase(g, driver_max_edges=0)
+        assert r0 == 0
+        assert {x.node: x.label for x in fast.collect()} == {
+            x.node: x.label for x in loop.collect()
+        }
 
 
 def test_cc_two_phase_agrees_with_min_label(spark):
