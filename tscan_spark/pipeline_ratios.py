@@ -109,6 +109,14 @@ def _word_grain(
     )
     tok = tok.join(F.broadcast(staph), "word", "left")
     tok = tok.join(F.broadcast(lexicons.lemma_freq(documents)), "lemma", "left")
+    return tok.select("*", *_word_grain_cols())
+
+
+@lru_cache(maxsize=None)
+def _word_grain_cols() -> tuple:
+    """The ~70 derived word-grain columns, built once per process
+    (constant Column trees; same rationale as _ratio_aggs)."""
+    is_comp = F.col("is_compound") == 1
     total = F.col("wf_total")
     head_fl = F.when(is_comp, freq_log(F.coalesce(F.col("head_count"), F.lit(0)), total))
     sat_fl = F.when(is_comp, freq_log(F.coalesce(F.col("sat_count"), F.lit(0)), total))
@@ -129,8 +137,7 @@ def _word_grain(
             .otherwise(F.col(f"is_{band}"))
             .alias(f"is_{band}_corr")
         )
-    return tok.select(
-        "*",
+    return (
         F.round(head_fl, 6).alias("head_freq_log"),
         F.round(sat_fl, 6).alias("sat_freq_log"),
         F.round((head_fl + sat_fl) / 2.0, 6).alias("head_sat_freq_log"),
@@ -163,7 +170,7 @@ def _word_grain(
         F.coalesce((F.col("noun_sem") == "HUMAN").cast("int"), F.lit(0)).alias(
             "is_name"
         ),
-    )
+    )  # end of the cached word-grain column tuple
 
 
 @lru_cache(maxsize=None)

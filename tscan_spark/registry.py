@@ -1407,25 +1407,29 @@ def _doc_profile_impl(
         build = builders.get(name)
         part = (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
         out = part if out is None else out.join(part, "doc_id")
-    # cross-battery ratio block (same SQL strings as the oracle).
-    # cast("double"): Spark parses the literal 1.0 in the shared ratio
-    # SQL as DECIMAL(2,1), making every ratio DECIMAL(29,6), while the
-    # DuckDB oracle returns DOUBLE — value-identical but the driver's
-    # typed hash fails (r5 hash-red). Double is also what the LiNT
-    # block consumes, so both engines fold the formulas in IEEE double.
-    out = out.select(
-        "*",
-        *[
-            F.expr(_profile_ratio_expr(num, den, kind))
-            .cast("double")
-            .alias(name)
-            for name, num, den, kind in _PROFILE_RATIOS
-        ],
+    # cross-battery ratio block + D4 LiNT scores (same SQL strings as
+    # the oracle); both expression lists are process-cached constants.
+    return out.select("*", *_profile_ratio_cols()).select(
+        "*", *_profile_lint_cols()
     )
-    # D4 exact LiNT scores over the ratio columns (second-level select)
-    return out.select(
-        "*", *[F.expr(sql).alias(name) for name, sql in _lint_col_sql()]
+
+
+@_lru_cache(maxsize=None)
+def _profile_ratio_cols() -> tuple:
+    """cast("double"): Spark parses the literal 1.0 in the shared ratio
+    SQL as DECIMAL(2,1), making every ratio DECIMAL(29,6), while the
+    DuckDB oracle returns DOUBLE — value-identical but the driver's
+    typed hash fails (r5 hash-red). Double is also what the LiNT
+    block consumes, so both engines fold the formulas in IEEE double."""
+    return tuple(
+        F.expr(_profile_ratio_expr(num, den, kind)).cast("double").alias(name)
+        for name, num, den, kind in _PROFILE_RATIOS
     )
+
+
+@_lru_cache(maxsize=None)
+def _profile_lint_cols() -> tuple:
+    return tuple(F.expr(sql).alias(name) for name, sql in _lint_col_sql())
 
 
 def _render_profile_oracle(spark_cols_by_part: list[list[str]]) -> str:
