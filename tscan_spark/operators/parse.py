@@ -26,6 +26,8 @@ both operators:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -402,13 +404,19 @@ def clause_counts(
         & (F.col("tok_i") > 0),  # the root has no parent
         "left",
     )
+    sent = j.groupBy("doc_id", "sent_idx").agg(*_clause_sent_aggs())
+    return sent.select(*_clause_out_cols())
+
+
+@lru_cache(maxsize=None)
+def _clause_sent_aggs() -> tuple:
     is_clause = F.col("cat").isin(CLAUSE_CATS)
     p_clause = F.col("p_cat").isin(CLAUSE_CATS)
     # when/otherwise, NOT cond.cast(int): conditions over the root's
     # NULL parent attributes must count 0 like the oracle's CASE WHEN
     # (a single-token sentence would otherwise sum to NULL)
     cnt = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)).alias(name)
-    sent = j.groupBy("doc_id", "sent_idx").agg(
+    return (
         F.count(F.lit(1)).alias("n_nodes"),
         cnt(F.col("cat") == "smain", "smain_cnt"),
         cnt(F.col("cat") == "ssub", "ssub_cnt"),
@@ -443,6 +451,10 @@ def clause_counts(
         cnt(F.col("rel") == "cnj", "_coord"),
         cnt((F.col("tag") == "WW") & (F.length("word") % 2 == 1), "_inf"),
     )
+
+
+@lru_cache(maxsize=None)
+def _clause_out_cols() -> tuple:
     clause_cnt = F.col("smain_cnt") + F.col("ssub_cnt") + F.col("sv1_cnt")
     d_level = (
         F.when(F.col("n_nodes") < MIN_PARSE_TOKENS, -1)  # parse missing
@@ -473,7 +485,7 @@ def clause_counts(
         "np_cnt",
         "np_mod_cnt",
     ]
-    return sent.select(
+    return (
         "doc_id",
         F.col("sent_idx").cast("int").alias("sent_idx"),
         *[F.col(c).cast("int").alias(c) for c in keep],
@@ -1012,6 +1024,13 @@ def dep_pair_distances(
         & (F.col("tok_i") > 0),
         "inner",
     )
+    return j.groupBy("doc_id").agg(*_dep_pair_aggs())
+
+
+@lru_cache(maxsize=None)
+def _dep_pair_aggs() -> tuple:
+    """The 17-pair (cnt, mean) aggregate list, built once per process
+    (constant Column trees; per-call rebuild was py4j round trips)."""
     dist = F.abs(F.col("tok_i") - F.col("parent")).cast("double")
     hits = []
     for name, ptag, rel, lcat in AL_PAIRS:
@@ -1028,7 +1047,7 @@ def dep_pair_distances(
         any_hit = hit if any_hit is None else (any_hit | hit)
     n_all = F.sum(F.when(any_hit, 1).otherwise(0))
     aggs.append(fp_mean(F.when(any_hit, dist), n_all).alias("al_gem"))
-    return j.groupBy("doc_id").agg(*aggs)
+    return tuple(aggs)
 
 
 def sql_dep_pair_distances() -> str:
