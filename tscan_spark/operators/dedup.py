@@ -201,7 +201,9 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard.
 
     Light/heavy posting-list split (standard pruning, made EXACT):
@@ -220,8 +222,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle shared by k docs would otherwise cost k^2/2 rows — the
     quadratic corpus-scale killer); every EMITTED jaccard is exact over
     the full sets.
+
+    ``sh``: optional pre-built (persisted) string shingle frame shared
+    with a sibling pipeline (dedup_recall_eval builds it once for both
+    the exact and the LSH side — guide §2.4, one fewer corpus pass);
+    its cache is owned by the caller.
     """
-    j, sh = _pair_overlaps(spark, sf_dir)
+    j, sh = _pair_overlaps(spark, sf_dir, sh_str=sh)
     n_common = F.col("n_common")
     jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     out = j.select(
@@ -233,22 +240,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_cache(out.where(F.col("jaccard") >= JACCARD_THRESHOLD), sh)
 
 
-def _pair_overlaps(spark: SparkSession, sf_dir: str):
+def _pair_overlaps(
+    spark: SparkSession, sf_dir: str, sh_str: DataFrame | None = None
+):
     """Shared exact-overlap core of the shingle pair family: candidate
     pairs from light posting lists + exact heavy correction.  Returns
     (pairs with n_common/n_a/n_b, persisted shingle handle) — callers
-    own the final measure/filter AND the cache release (_with_cache)."""
-    d = _docs(spark, sf_dir)
+    own the final measure/filter AND the cache release (_with_cache).
+
+    ``sh_str``: optional pre-built string shingle frame (persisted by
+    the caller); when given, the sid frame derives from it instead of
+    re-running the shingle construction."""
     # all set algebra runs on 64-bit shingle ids: narrow join keys and
     # shuffle rows instead of ~30-char strings (ids are engine-internal;
     # a cross-shingle collision would need ~2^32 distinct shingles).
     # persist: the subtree feeds 4 consumers and exchange reuse does not
     # dedupe it — see the cache contract on _with_cache
-    sh = (
-        shingles(d)
-        .select("doc_id", F.xxhash64("shingle").alias("sid"))
-        .persist()
-    )
+    if sh_str is None:
+        sh_str = shingles(_docs(spark, sf_dir))
+    sh = sh_str.select("doc_id", F.xxhash64("shingle").alias("sid")).persist()
     df_dim = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("_df"))
     heavy = df_dim.where(F.col("_df") > SHINGLE_DF_CAP).select("sid")
     light = sh.join(F.broadcast(heavy), "sid", "left_anti")
@@ -433,16 +443,23 @@ def minhash_signatures(
     return doc_sid.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs -> exact Jaccard verification.
 
     Bands of NUM_HASHES/NUM_BANDS rows; candidates share an identical
     band signature; every candidate is verified with the exact shingle
     Jaccard, so output quality does not depend on the sketch.
+
+    ``sh``: optional pre-built string shingle frame, already persisted
+    by the caller (cache ownership stays with the caller then).
     """
     # the shingle subtree feeds signatures and the verify join — persist
     # it once (cache contract: see _with_cache)
-    sh = shingles(_docs(spark, sf_dir)).persist()
+    own_cache = sh is None
+    if sh is None:
+        sh = shingles(_docs(spark, sf_dir)).persist()
     sigs = minhash_signatures(spark, sf_dir, sh=sh)
     rpb = NUM_HASHES // NUM_BANDS
     band_structs = F.array(
@@ -466,7 +483,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _with_cache(_verified_jaccard(cand, sh).drop("n_common"), sh)
+    out = _verified_jaccard(cand, sh).drop("n_common")
+    return _with_cache(out, sh) if own_cache else out
 
 
 def sql_minhash_lsh_pairs() -> str:
@@ -1252,12 +1270,15 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (heavy-only overlap, dedup.py:204).  Plan: the two pair pipelines
     plus ONE full-outer join at pair cardinality (both sides are
     near-dup-sparse — orders of magnitude below doc^2) and a single
-    summary aggregate.
+    summary aggregate.  The string shingle frame — the one subtree both
+    pipelines start from — is built and persisted ONCE here and shared
+    (guide §2.4: one shingle construction pass instead of two).
     """
-    exact = ngram_jaccard_pairs(spark, sf_dir).select(
+    sh = shingles(_docs(spark, sf_dir)).persist()
+    exact = ngram_jaccard_pairs(spark, sf_dir, sh=sh).select(
         "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
-    lsh = minhash_lsh_pairs(spark, sf_dir).select(
+    lsh = minhash_lsh_pairs(spark, sf_dir, sh=sh).select(
         "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
     joined = exact.join(lsh, ["doc_a", "doc_b"], "full")
@@ -1290,7 +1311,7 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     caches = list(getattr(exact, "_tscan_caches", [])) + list(
         getattr(lsh, "_tscan_caches", [])
     )
-    return _with_cache(out, *caches)
+    return _with_cache(out, *caches, sh)
 
 
 def sql_dedup_recall_eval() -> str:

@@ -1402,34 +1402,46 @@ def _doc_profile_impl(
         ),
         "doc_mtld": lambda: sequential.doc_mtld(spark, sf_dir, grain=grain),
     }
-    out = None
-    for name, drops in _PROFILE_PARTS:
+    parts = {}
+    for i, (name, drops) in enumerate(_PROFILE_PARTS):
         build = builders.get(name)
-        part = (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
-        out = part if out is None else out.join(part, "doc_id")
-    # cross-battery ratio block + D4 LiNT scores (same SQL strings as
-    # the oracle); both expression lists are process-cached constants.
-    return out.select("*", *_profile_ratio_cols()).select(
-        "*", *_profile_lint_cols()
-    )
+        parts[f"b{i}"] = (
+            build() if build else QUERIES[name](spark, sf_dir)
+        ).drop(*drops)
+    # ONE parameterized spark.sql call assembles the 13-way doc_id join
+    # + cross-battery ratio block + D4 LiNT scores (the same SQL text
+    # shape as the oracle). The former left-deep .join() chain + two
+    # wide selects re-analyzed the accumulated ~510-column plan on the
+    # JVM once per DataFrame call (~14 full tree traversals, 2.6 s of
+    # the profile's warm construction at sf0.1); the single SQL text
+    # resolves every part subtree once. Semantics identical: INNER JOIN
+    # USING (doc_id) == .join(part, "doc_id"), same column order, same
+    # ratio/LiNT expressions, same DOUBLE cast.
+    return spark.sql(_profile_assembly_sql(), **parts)
 
 
 @_lru_cache(maxsize=None)
-def _profile_ratio_cols() -> tuple:
-    """cast("double"): Spark parses the literal 1.0 in the shared ratio
-    SQL as DECIMAL(2,1), making every ratio DECIMAL(29,6), while the
-    DuckDB oracle returns DOUBLE — value-identical but the driver's
-    typed hash fails (r5 hash-red). Double is also what the LiNT
-    block consumes, so both engines fold the formulas in IEEE double."""
-    return tuple(
-        F.expr(_profile_ratio_expr(num, den, kind)).cast("double").alias(name)
+def _profile_assembly_sql() -> str:
+    """Constant assembly SQL over the 13 profile part frames
+    ({b0}..{b12} spark.sql references), process-cached."""
+    cols = _profile_cols()
+    selects = ["b0.*"]
+    froms = ["{b0} b0"]
+    for i in range(1, len(_PROFILE_PARTS)):
+        froms.append(f"JOIN {{b{i}}} b{i} USING (doc_id)")
+        selects.append(
+            ",\n       ".join(f"b{i}.{c}" for c in cols[i] if c != "doc_id")
+        )
+    inner = "SELECT " + ",\n       ".join(selects) + "\nFROM " + "\n".join(froms)
+    ratios = ",\n       ".join(
+        f"CAST(({_profile_ratio_expr(num, den, kind)}) AS DOUBLE) AS {name}"
         for name, num, den, kind in _PROFILE_RATIOS
     )
-
-
-@_lru_cache(maxsize=None)
-def _profile_lint_cols() -> tuple:
-    return tuple(F.expr(sql).alias(name) for name, sql in _lint_col_sql())
+    lint = ",\n       ".join(f"{sql} AS {name}" for name, sql in _lint_col_sql())
+    return (
+        f"SELECT q.*,\n       {lint}\nFROM (\n"
+        f"SELECT p.*,\n       {ratios}\nFROM (\n{inner}\n) p\n) q"
+    )
 
 
 def _render_profile_oracle(spark_cols_by_part: list[list[str]]) -> str:
