@@ -1402,12 +1402,22 @@ def _doc_profile_impl(
         ),
         "doc_mtld": lambda: sequential.doc_mtld(spark, sf_dir, grain=grain),
     }
-    parts = {}
-    for i, (name, drops) in enumerate(_PROFILE_PARTS):
+    # The 13 battery constructions are independent pure plan builds over
+    # immutable frames; nearly all their wall time is py4j socket
+    # round-trip latency (~0.6 ms x thousands of calls), so a small
+    # thread pool overlaps them (py4j gives each Python thread its own
+    # connection + JVM thread; no jobs run during construction). Order
+    # and results are deterministic: each part lands in its own slot.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(item):
+        name, drops = item
         build = builders.get(name)
-        parts[f"b{i}"] = (
-            build() if build else QUERIES[name](spark, sf_dir)
-        ).drop(*drops)
+        return (build() if build else QUERIES[name](spark, sf_dir)).drop(*drops)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        built = list(pool.map(_build, _PROFILE_PARTS))
+    parts = {f"b{i}": df for i, df in enumerate(built)}
     # ONE parameterized spark.sql call assembles the 13-way doc_id join
     # + cross-battery ratio block + D4 LiNT scores (the same SQL text
     # shape as the oracle). The former left-deep .join() chain + two
