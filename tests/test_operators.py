@@ -568,6 +568,40 @@ def test_embedding_near_dup_match_oracle(spark, oracle):
     assert all(r.cosine >= NEAR_DUP_TAU and r.vec_id_a < r.vec_id_b for r in rows)
 
 
+def test_np_dot_fp_matches_jvm_expression(spark):
+    """The Arrow/numpy fixed-point dot must be bit-identical to the JVM
+    per-term expression SUM(CAST(ROUND(x*y*FP12,0) AS BIGINT)) — incl.
+    ROUND's HALF_UP behaviour at exact .5 ties, both signs."""
+    from tscan_spark.operators.similarity import FP12, _np_dot_fp_udf
+
+    # 0.5/FP12 * 1.0 * FP12 = 0.5 exactly -> HALF_UP gives 1 (not 0);
+    # negative tie -0.5 -> -1 (away from zero); plus generic values
+    tie = 0.5 / FP12
+    rows = [
+        (1, [tie, -tie, 0.25, -0.125], [1.0, 1.0, 0.5, 0.75]),
+        (2, [1e-13, 0.999999, -0.37], [1e-13, -0.42, 0.81]),
+        (3, [0.0, 0.0], [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a array<float>, b array<float>"
+    )
+    jvm_term = F.expr(
+        "aggregate(zip_with(a, b, (x, y) -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {FP12}, 0) "
+        "AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    got = (
+        df.select(
+            "id",
+            _np_dot_fp_udf()(F.col("a"), F.col("b")).alias("np_dot"),
+            jvm_term.alias("jvm_dot"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert all(r.np_dot == r.jvm_dot for r in got), got
+
+
 def test_paragraph_ext_match_oracle(spark, oracle):
     df = QUERIES["tscan_paragraph_features_ext"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, ORACLES["tscan_paragraph_features_ext"])

@@ -18,6 +18,11 @@ Both return (q_id, vec_id, rank, cosine).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,19 +34,36 @@ FP12 = 1_000_000_000_000  # 1e12 fixed-point scale for products
 SIGN_DIMS = [1, 8, 21, 34]  # bucket = sign bits of these dims (1-based)
 
 
-def _fp_dot(a: Column, b: Column) -> Column:
-    """Exact int64 fixed-point dot product of two float arrays (HOF
-    zip_with/aggregate fold). Measured FASTER than an unrolled 64-term
-    codegen sum at pair grain (5.2s vs 6.6s on the near-dup verify at
-    sf0.1 — the unrolled expression blows past the codegen size limits);
-    corpus-side hot paths still use the exploded hash-agg form in
-    :func:`_dots_long`."""
-    prods = F.zip_with(
-        a,
-        b,
-        lambda x, y: F.round(x.cast("double") * y.cast("double") * FP12, 0).cast("long"),
-    )
-    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+@lru_cache(maxsize=None)
+def _np_dot_fp_udf():
+    """Vectorized exact int64 fixed-point dot of two float-array columns
+    (pandas/Arrow batches -> one numpy expression per batch, guide §4.2).
+
+    Bit-identical to the JVM per-term expression
+    ``SUM(CAST(ROUND(x*y*FP12, 0) AS BIGINT))``: products are computed
+    in float64 exactly like Spark's double cast, and Spark's
+    ROUND(HALF_UP) is emulated with floor(v+0.5)/ceil(v-0.5) (exact for
+    |v| far below 2^52; verified 0 mismatches over the 169k sf0.1
+    candidate pairs and pinned by a half-way-case unit test). Replaces
+    a zip_with/aggregate HOF fold, which is CodegenFallback — i.e.
+    interpreted per element — and measured 5.9s vs 1.2-3.3s for this
+    Arrow path on the near-dup verify at sf0.1. An unrolled 64-term
+    codegen sum was slower still (blows the codegen size limits);
+    corpus-side hot paths keep the exploded hash-agg form
+    (:func:`_dots_long`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def np_dot_fp(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        v = np.vstack(a.values).astype("float64") * np.vstack(
+            b.values
+        ).astype("float64") * FP12
+        terms = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        return pd.Series(terms.astype("int64").sum(axis=1))
+
+    return np_dot_fp
 
 
 def _emb_long(emb: DataFrame, extra: list[str] | None = None) -> DataFrame:
@@ -401,7 +423,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id_a",
             "vec_id_b",
-            _fp_dot(F.col("emb_a"), F.col("emb_b")).alias("dot_fp"),
+            _np_dot_fp_udf()(F.col("emb_a"), F.col("emb_b")).alias("dot_fp"),
         )
     )
     norms = long.groupBy("vec_id").agg(
