@@ -15,8 +15,9 @@ that the dedup/quality/sampling family does not cover:
 - domain_mix_rates    : solve per-source keep rates that realize a
   target domain mixture at the maximum feasible corpus size.
 
-All pure DataFrame expressions (window leads + hash aggregates, no
-UDFs); every rule is replayable in ANSI SQL so the DuckDB oracles match
+All pure DataFrame expressions (window leads / array slices + hash
+aggregates, no UDFs); every rule is replayable in ANSI SQL so the
+DuckDB oracles match
 bit-for-bit. Reference analog: the reference filters its input corpus
 by document-level gates before feature extraction (tscan.cxx sentence /
 word filters); these operators are the corpus-scale generalization the
@@ -55,8 +56,39 @@ HOLDOUT_MOD = 10  # doc_id % 10 == 0 -> holdout "benchmark" doc
 DECON_MIN_HITS = 1
 
 
+def _gram_strings(documents: DataFrame, n: int, *keys: str) -> DataFrame:
+    """(keys..., gram): word n-grams straight from each document's own
+    (empty-filtered) token array — arrays_zip over n shifted slices,
+    zero Exchange, all codegen. The former lead()-over-Window build
+    paid a full token-grain shuffle + sort for an ordering the scan
+    provides for free (guide §2.4; same replacement as the dedup
+    shingle family). Identical gram set: tokens_long's word_idx is the
+    raw split index with empties filtered, so window leads step over
+    exactly the same consecutive non-empty tokens the array holds."""
+    arr = F.array_remove(F.split(F.col("text"), " "), "")
+    m = F.size(arr) - (n - 1)
+    z = F.arrays_zip(*[F.slice(arr, i + 1, m) for i in range(n)])
+    g = documents.select(
+        *keys, F.explode(F.when(F.size(arr) >= n, z)).alias("z")
+    )
+    return g.select(
+        *keys,
+        F.concat_ws(" ", *[F.col("z").getField(str(i)) for i in range(n)]).alias(
+            "gram"
+        ),
+    )
+
+
 def _grams(tok: DataFrame, n: int) -> DataFrame:
-    """Distinct (doc_id, gram_id) word n-grams via window leads."""
+    """Distinct (doc_id, gram_id) word n-grams via window leads.
+
+    Deliberately NOT the :func:`_gram_strings` array build at this
+    order: at n=8 the zip of 8 shifted string slices materializes ~8x
+    the document bytes per row and measured 2x SLOWER than the window
+    (3.0s vs 1.3s for the distinct-gram pass at sf0.1, same-JVM A/B);
+    the window's token-grain exchange is the cheaper side of that trade
+    until network dwarfs memory bandwidth. At n<=3 the copies are small
+    and the array build wins on plan shape (see _pos_grams)."""
     w = Window.partitionBy("doc_id").orderBy("word_idx")
     parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
     g = tok.select(
@@ -157,8 +189,9 @@ FROM hits"""
 #
 # keep iff top2_frac <= TOP2_MAX and dup3_frac <= DUP3_MAX.
 #
-# Plan: the positional gram build is a doc-bounded window lead (no
-# cross-doc shuffle); each fraction is one doc-keyed hash aggregate.
+# Plan: the positional gram build is a narrow array slice over each
+# doc's own tokens (no shuffle); each fraction is one doc-keyed hash
+# aggregate.
 # The 2-gram max-count needs a (doc, gram) pre-aggregate — two-level
 # hash agg, map-side partials on both levels, no window over the
 # corpus. Production materializes the token grain once (staging
@@ -169,30 +202,22 @@ TOP2_MAX = 0.20
 DUP3_MAX = 0.90
 
 
-def _pos_grams(tok: DataFrame, n: int) -> DataFrame:
-    """Positional (non-distinct) n-grams: one row per occurrence."""
-    w = Window.partitionBy("doc_id").orderBy("word_idx")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    return (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", *parts).alias("gram"),
-            parts[-1].alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())
-        .select("doc_id", "gram")
-    )
+def _pos_grams(documents: DataFrame, n: int) -> DataFrame:
+    """Positional (non-distinct) n-grams: one row per occurrence
+    (array-sliced like :func:`_gram_strings` — zero Exchange)."""
+    return _gram_strings(documents, n, "doc_id")
 
 
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition statistics + keep flag per document."""
-    tok = corpus.tokens_long(corpus.load(spark, sf_dir, "documents"))
+    documents = corpus.load(spark, sf_dir, "documents")
+    tok = corpus.tokens_long(documents)
     base = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
         F.countDistinct("word").alias("n_uniq"),
     )
     g2 = (
-        _pos_grams(tok, 2)
+        _pos_grams(documents, 2)
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -203,7 +228,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g3 = (
-        _pos_grams(tok, 3)
+        _pos_grams(documents, 3)
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -639,6 +664,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [F.col("word")] + [
         F.lead("word", i).over(w) for i in range(1, DECON_N)
     ]
+    # window build, not _gram_strings: see the n=8 trade note on _grams
     g = (
         tok.select(
             "source",
