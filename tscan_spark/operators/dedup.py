@@ -120,19 +120,23 @@ GROUP BY md5(text)"""
 # ---------------------------------------------------------------------------
 
 
-def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
+def shingles_raw(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Positional (non-distinct) word n-gram shingles: (doc_id, shingle).
 
     Pure narrow array expression over the document's own token array —
     the tokens of one document already sit in order inside its ``text``
     row, so the former lead()-over-Window construction paid a full
     shuffle + sort of the token grain for an ordering the scan provides
-    for free (guide §2.4: remove shuffles outright). Zero Exchange
-    before the distinct. Built from arrays_zip over n shifted slices
-    (all codegen) rather than per-position lambdas: a transform/slice
-    HOF variant measured 4x slower (interpreted per element), this one
-    is at parity with the old window locally and strictly better on
-    plan shape."""
+    for free (guide §2.4: remove shuffles outright). Zero Exchange.
+    Built from arrays_zip over n shifted slices (all codegen) rather
+    than per-position lambdas: a transform/slice HOF variant measured
+    4x slower (interpreted per element), this one is at parity with the
+    old window locally and strictly better on plan shape.
+
+    Duplicate-insensitive consumers (minhash MIN, the verify's
+    collect_set) take this form directly and skip the distinct
+    exchange; set-algebra consumers distinct on the 64-bit sid instead
+    of the ~30-char string (guide §2.3: shuffle narrow keys)."""
     arr = F.array_remove(F.split(F.col("text"), " "), "")
     m = F.size(arr) - (n - 1)
     z = F.arrays_zip(*[F.slice(arr, i + 1, m) for i in range(n)])
@@ -144,7 +148,7 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         F.concat_ws(" ", *[F.col("z").getField(str(i)) for i in range(n)]).alias(
             "shingle"
         ),
-    ).distinct()
+    )
 
 
 SQL_SHINGLES_CTE = """
@@ -248,17 +252,24 @@ def _pair_overlaps(
     (pairs with n_common/n_a/n_b, persisted shingle handle) — callers
     own the final measure/filter AND the cache release (_with_cache).
 
-    ``sh_str``: optional pre-built string shingle frame (persisted by
-    the caller); when given, the sid frame derives from it instead of
-    re-running the shingle construction."""
+    ``sh_str``: optional pre-built POSITIONAL (non-distinct) shingle
+    frame (persisted by the caller); when given, the sid frame derives
+    from it instead of re-running the shingle construction."""
     # all set algebra runs on 64-bit shingle ids: narrow join keys and
     # shuffle rows instead of ~30-char strings (ids are engine-internal;
-    # a cross-shingle collision would need ~2^32 distinct shingles).
+    # a cross-shingle collision would need ~2^32 distinct shingles —
+    # the same convention the verify's collect_set-of-hashes already
+    # uses). The per-doc DISTINCT therefore runs on the 8-byte sid, not
+    # the string (guide §2.3: fewer shuffle bytes, cheaper compares).
     # persist: the subtree feeds 4 consumers and exchange reuse does not
     # dedupe it — see the cache contract on _with_cache
     if sh_str is None:
-        sh_str = shingles(_docs(spark, sf_dir))
-    sh = sh_str.select("doc_id", F.xxhash64("shingle").alias("sid")).persist()
+        sh_str = shingles_raw(_docs(spark, sf_dir))
+    sh = (
+        sh_str.select("doc_id", F.xxhash64("shingle").alias("sid"))
+        .distinct()
+        .persist()
+    )
     df_dim = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("_df"))
     heavy = df_dim.where(F.col("_df") > SHINGLE_DF_CAP).select("sid")
     light = sh.join(F.broadcast(heavy), "sid", "left_anti")
@@ -432,7 +443,9 @@ def minhash_signatures(
     shuffle instead of 16x.
     """
     if sh is None:
-        sh = shingles(_docs(spark, sf_dir))
+        sh = shingles_raw(_docs(spark, sf_dir))
+    # duplicate shingle occurrences are harmless here: MIN over a
+    # multiset equals MIN over its set, so no distinct pass is needed
     doc_sid = sh.select(
         "doc_id", corpus.content_hash_expr("shingle").alias("sid")
     )
@@ -452,14 +465,17 @@ def minhash_lsh_pairs(
     band signature; every candidate is verified with the exact shingle
     Jaccard, so output quality does not depend on the sketch.
 
-    ``sh``: optional pre-built string shingle frame, already persisted
-    by the caller (cache ownership stays with the caller then).
+    ``sh``: optional pre-built POSITIONAL shingle frame, already
+    persisted by the caller (cache ownership stays with the caller).
+    Both consumers are duplicate-insensitive (signature MINs, the
+    verify's collect_set), so no distinct pass is paid anywhere in
+    this pipeline.
     """
     # the shingle subtree feeds signatures and the verify join — persist
     # it once (cache contract: see _with_cache)
     own_cache = sh is None
     if sh is None:
-        sh = shingles(_docs(spark, sf_dir)).persist()
+        sh = shingles_raw(_docs(spark, sf_dir)).persist()
     sigs = minhash_signatures(spark, sf_dir, sh=sh)
     rpb = NUM_HASHES // NUM_BANDS
     band_structs = F.array(
@@ -1270,11 +1286,11 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (heavy-only overlap, dedup.py:204).  Plan: the two pair pipelines
     plus ONE full-outer join at pair cardinality (both sides are
     near-dup-sparse — orders of magnitude below doc^2) and a single
-    summary aggregate.  The string shingle frame — the one subtree both
-    pipelines start from — is built and persisted ONCE here and shared
-    (guide §2.4: one shingle construction pass instead of two).
+    summary aggregate.  The positional shingle frame — the one subtree
+    both pipelines start from — is built and persisted ONCE here and
+    shared (guide §2.4: one shingle construction pass instead of two).
     """
-    sh = shingles(_docs(spark, sf_dir)).persist()
+    sh = shingles_raw(_docs(spark, sf_dir)).persist()
     exact = ngram_jaccard_pairs(spark, sf_dir, sh=sh).select(
         "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
