@@ -568,6 +568,44 @@ def test_embedding_near_dup_match_oracle(spark, oracle):
     assert all(r.cosine >= NEAR_DUP_TAU and r.vec_id_a < r.vec_id_b for r in rows)
 
 
+def test_outputs_partitioning_independent(spark, monkeypatch):
+    """Float-aggregating queries must be BIT-identical whatever the
+    input partitioning: the driver hashes exact typed values, so even a
+    last-ulp difference from a changed double-reduction order is a
+    regression. Pins the engine's order-free-sums design (fixed-point
+    encodings, per-doc containment of partials) against future edits.
+    A full 118-query bitwise sweep at 1-vs-32 scan partitions passed at
+    sf0.01 AND sf0.1 when this pin was added (round-6 audit)."""
+    import numpy as np
+
+    from tscan_spark import corpus
+
+    real_load = corpus.load
+
+    def spread_load(sp, sf_dir, name):
+        df = real_load(sp, sf_dir, name)
+        return df.repartition(8) if name in ("documents", "embeddings") else df
+
+    for name in ("tscan_doc_features", "doc_mtld", "dsir_importance"):
+        monkeypatch.setattr(corpus, "load", real_load)
+        base = QUERIES[name](spark, SF_DIR).toPandas()
+        monkeypatch.setattr(corpus, "load", spread_load)
+        spread = QUERIES[name](spark, SF_DIR).toPandas()
+        cols = sorted(base.columns)
+        assert sorted(spread.columns) == cols, name
+        b = base[cols].sort_values(cols, ignore_index=True)
+        s = spread[cols].sort_values(cols, ignore_index=True)
+        for c in cols:
+            x, y = b[c], s[c]
+            assert str(x.dtype) == str(y.dtype), (name, c)
+            if x.dtype == np.float64:
+                xv = x.to_numpy().view("int64")
+                yv = y.to_numpy().view("int64")
+                assert (xv == yv).all(), (name, c, "float bits differ")
+            else:
+                assert x.astype(object).equals(y.astype(object)), (name, c)
+
+
 def test_np_dot_fp_matches_jvm_expression(spark):
     """The Arrow/numpy fixed-point dot must be bit-identical to the JVM
     per-term expression SUM(CAST(ROUND(x*y*FP12,0) AS BIGINT)) — incl.
