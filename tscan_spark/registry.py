@@ -1313,7 +1313,9 @@ def _sql_doc_profile() -> str:
     )
 
 
-def _profile_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _profile_grain(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """ONE fully-annotated token grain feeding every token-derived
     battery in the profile: base + extended annotations, the banded
     frequency lexicon (broadcast), and the content-gated freq-log.
@@ -1321,8 +1323,24 @@ def _profile_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sharing this single analyzed subtree (instead of each battery
     re-deriving its own identical lineage) cuts the profile's Catalyst
     analysis time ~5x and lets the physical planner reuse one scan
-    shape across the aggregation paths."""
+    shape across the aggregation paths.
+
+    ``spread=True`` (the STAGED materialization path only): raise the
+    scan to the session's parallelism before the annotation ladder when
+    the input plans fewer partitions — the generated test tables are
+    single-row-group files, so the whole 42-column ladder would
+    otherwise execute on ONE task feeding the staging write (measured:
+    grain write 3.5-3.8 -> 1.6-1.8 s at sf0.1). Scale-adaptive: a real
+    corpus scan already has >= parallelism splits and the repartition
+    is a no-op; paid ONCE into the materialization and amortized by all
+    ~13 staged battery reads (unlike a blanket scan spread, which was
+    measured a net loss and reverted — OPTIMIZATION_r06.md). Values are
+    partitioning-independent (bitwise 118-query audit + pinned test)."""
     documents = corpus.load(spark, sf_dir, "documents")
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if documents.rdd.getNumPartitions() < par:
+            documents = documents.repartition(par)
     tok = annotate.annotate_extended(
         annotate.annotate(corpus.tokens_long(documents))
     )
@@ -1366,7 +1384,9 @@ def _doc_profile_impl(
 
         gpath = os.path.join(staging_dir, "token_grain")
         npath = os.path.join(staging_dir, "parse_nodes")
-        _profile_grain(spark, sf_dir).write.mode("overwrite").parquet(gpath)
+        _profile_grain(spark, sf_dir, spread=True).write.mode(
+            "overwrite"
+        ).parquet(gpath)
         grain = spark.read.parquet(gpath)
         parse.parse_nodes(spark, sf_dir, tok=grain).write.mode("overwrite").parquet(
             npath
